@@ -1,11 +1,24 @@
-"""Test configuration: force an 8-device virtual CPU mesh BEFORE jax import
-so multi-chip sharding paths are exercised without TPU hardware."""
+"""Test configuration: force an 8-device virtual CPU mesh BEFORE any jax use
+so multi-chip sharding paths are exercised without TPU hardware (and so unit
+tests never dispatch op-by-op to a remote TPU tunnel — note the tunnel
+plugin ignores the JAX_PLATFORMS env var; jax.config is authoritative)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # silence XLA AOT-cache noise
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: the limb-plane kernels produce large HLO graphs;
+# caching makes re-runs compile-free.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,111 @@
+"""Device-mesh sharded MSM.
+
+The north-star workload (BASELINE.md config 5): a 2^16..2^22-point MSM with
+points/scalars sharded across chips. Design:
+
+  * the (N, ...) point/scalar arrays are sharded on axis 0 over the "shard"
+    mesh axis (`shard_map`);
+  * each device runs the full local Pippenger (ops/msm.py) on its N/D slice
+    — embarrassingly parallel, zero communication;
+  * the per-device partial results (ONE projective point each) are combined
+    with a single `all_gather` over ICI followed by a log-depth local group
+    reduction. An MSM is a sum in G1, so the only cross-chip traffic is
+    D*96 bytes — communication is negligible by construction, which is what
+    makes >80% multi-chip scaling efficiency attainable.
+  * batched MSMs (verkle node fleets, multiproof query stacks) shard the
+    BATCH axis instead — pure data parallelism.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import curve as dc
+from ..ops import msm as dmsm
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def msm_sharded(
+    points_affine: jnp.ndarray,
+    scalars: jnp.ndarray,
+    mesh: Mesh,
+    c: int = 8,
+    lanes: int = 8,
+) -> jnp.ndarray:
+    """One big MSM sharded over the mesh -> replicated (3, L) result."""
+    axis = mesh.axis_names[0]
+    d = mesh.shape[axis]
+    n = points_affine.shape[0]
+
+    # pad so every shard gets an equal static slice (infinity sentinels)
+    per = math.ceil(n / d)
+    padded = per * d
+    if padded != n:
+        points_affine = jnp.concatenate(
+            [points_affine, jnp.zeros((padded - n, 2, 16), jnp.uint32)], axis=0
+        )
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((padded - n, 16), jnp.uint32)], axis=0
+        )
+
+    def local(pts, scs):
+        part = dmsm.msm_pippenger(pts, scs, c=c, lanes=lanes)  # (3, L)
+        parts = jax.lax.all_gather(part, axis)  # (D, 3, L)
+        return dmsm.tree_reduce_points(parts, axis=0)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(),  # replicated
+        # the limb kernels build scan carries from jnp.zeros (unvarying);
+        # skip the varying-manual-axes check — every op is shard-local by
+        # construction and the only cross-shard op is the all_gather above
+        check_vma=False,
+    )
+    return fn(points_affine, scalars)
+
+
+def msm_batched_sharded(
+    points_affine: jnp.ndarray,
+    scalars: jnp.ndarray,
+    mesh: Mesh,
+    c: int = 8,
+) -> jnp.ndarray:
+    """(B, N, 2, L) x (B, N, L) -> (B, 3, L), batch axis sharded (DP)."""
+    axis = mesh.axis_names[0]
+    d = mesh.shape[axis]
+    b = points_affine.shape[0]
+    per = math.ceil(b / d)
+    padded = per * d
+    if padded != b:
+        pad = padded - b
+        points_affine = jnp.concatenate(
+            [points_affine, jnp.zeros((pad,) + points_affine.shape[1:], jnp.uint32)],
+            axis=0,
+        )
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((pad,) + scalars.shape[1:], jnp.uint32)], axis=0
+        )
+
+    fn = shard_map(
+        functools.partial(dmsm.msm_batched, c=c, lanes=1),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(points_affine, scalars)[:b]

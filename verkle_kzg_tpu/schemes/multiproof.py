@@ -1,0 +1,193 @@
+"""PCS multiproof (Dankrad Feist's random-linear-combination batch opening),
+generic over IPA and KZG — re-design of ``vector-commit/src/multiproof.rs``.
+
+The reference parallelizes with a rayon thread pool (``multiproof.rs:14,
+120,132``); here every per-query computation is a single batched device
+program over an (M, N, L) tensor:
+
+  * query scaling by r^i  ->  one broadcast Montgomery multiply;
+  * group-by-evaluation-point -> scatter-add of lazy uint32 limb columns
+    (exact because M < 2**16 keeps columns below 2**32) + one Montgomery
+    collapse;
+  * per-point quotients    -> the dense all-points quotient kernel, run for
+    every domain point at once (absent points contribute zero vectors and
+    thus zero quotients — branchless, static shapes);
+  * h(x) accumulation      -> broadcast multiply + lazy tree sum.
+
+Transcript bytes match the reference exactly (labels "C"/"z"/"y"/"r"/"D"/
+"t"/"E"; z is appended as an 8-byte LE usize). Deliberate quirk decision
+(SURVEY.md §5 item 1): the reference's verifier computes g2_of_t but never
+checks it against the proof's claimed y (dead code, ``multiproof.rs:194-209``)
+— we FOLLOW the reference (no extra check) so acceptance behavior is
+bit-identical; a fixed variant can be layered on later without breaking
+compatibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..fiatshamir.transcript import Transcript
+from ..hostmath.field import fr_batch_inverse
+from ..ops import curve as dc
+from ..ops import field as df
+from ..ops import msm as dmsm
+from ..ops.limbs import ints_to_limbs
+from ..params import R, NLIMBS
+from ..poly import FrVector
+from ..poly.lagrange import _quotient_in_domain
+
+L = NLIMBS
+
+
+@dataclasses.dataclass
+class ProverQuery:
+    """(data, commitment, z, y) — ``multiproof.rs:26-41``."""
+
+    data: FrVector
+    commit: tuple
+    z: int
+    y: int
+
+    def to_verifier_query(self) -> "VerifierQuery":
+        return VerifierQuery(self.commit, self.z, self.y)
+
+
+@dataclasses.dataclass
+class VerifierQuery:
+    commit: tuple
+    z: int
+    y: int
+
+
+@dataclasses.dataclass
+class Multiproof:
+    proof: object  # scheme proof for the final opening
+    d: tuple  # commitment to g(x)
+
+
+@jax.jit
+def _scale_and_group(data_stack, r_pows, z_idx, n_static):
+    """Scale each query's data by r^i and scatter-sum into per-z rows.
+
+    data_stack: (M, N, L) Mont; r_pows: (M, L) Mont; z_idx: (M,) int32.
+    Returns scaled (M, N, L) and grouped (N, N, L) [row z = sum of scaled
+    data of queries at z].
+    """
+    scaled = df.mont_mul(data_stack, r_pows[:, None, :], "fr")
+    n = n_static.shape[0]  # static-shape carrier
+    grouped_lazy = jnp.zeros((n,) + scaled.shape[1:], jnp.uint32).at[z_idx].add(scaled)
+    grouped = df.reduce_columns(grouped_lazy, "fr")
+    return scaled, grouped
+
+
+@jax.jit
+def _all_quotients_sum(grouped, invdiff, vanishing, vanishing_inv):
+    """g(x) = sum_z quotient(grouped[z], z)  — dense over all domain points.
+
+    invdiff: (N, N, L) Mont InvDiff[z, i]; vanishing/vanishing_inv: (N, L).
+    """
+    n = grouped.shape[0]
+    ratio = df.mont_mul(vanishing[:, None, :], vanishing_inv[None, :, :], "fr")
+    q = jax.vmap(_quotient_in_domain)(grouped, invdiff, ratio, jnp.arange(n))
+    return df.lazy_sum(q, 0, "fr")
+
+
+@jax.jit
+def _h_accumulate(scaled, inv_factors):
+    """h(x) = sum_m scaled_m * (1/(t - z_m)) — ``multiproof.rs:161-166``."""
+    terms = df.mont_mul(scaled, inv_factors[:, None, :], "fr")
+    return df.lazy_sum(terms, 0, "fr")
+
+
+def _absorb_queries(t: Transcript, queries) -> None:
+    for q in queries:
+        t.append_point(q.commit, "C")
+        t.append_usize(q.z, "z")
+        t.append_scalar(q.y, "y")
+
+
+def prove_multiproof(scheme, params, queries: list) -> Multiproof:
+    """``multiproof.rs:99-176``. ``scheme`` is IPA or KZG (schemes/*)."""
+    domain = params.domain
+    n = domain.size
+    m = len(queries)
+    assert m < (1 << 16), "lazy scatter-sum bound requires M < 2^16"
+
+    t = Transcript("multiproof")
+    _absorb_queries(t, queries)
+    r = t.digest("r", True)
+
+    data_stack = jnp.stack([q.data.vals for q in queries])  # (M, N, L)
+    r_mont = df.to_mont(jnp.asarray(ints_to_limbs([r])), "fr")[0]
+    r_pows = df.powers_of_mont(r_mont, m, "fr")  # (M, L)
+    z_idx = jnp.asarray([q.z for q in queries], dtype=jnp.int32)
+
+    scaled, grouped = _scale_and_group(data_stack, r_pows, z_idx, jnp.zeros((n,)))
+
+    g_vals = _all_quotients_sum(
+        grouped, domain.d_invdiff, domain.d_vanishing, domain.d_vanishing_inv
+    )
+    g = FrVector(g_vals, n, domain)
+
+    d_commit = scheme.commit(params, g)
+    t.append_point(d_commit, "D")
+    t_chal = t.digest("t", True)
+
+    # 1/(t - z) for integer z in 0..N (``utils.rs:57-62``)
+    inversions = fr_batch_inverse([(t_chal - i) % R for i in range(n)])
+    inv_per_query = [inversions[q.z] for q in queries]
+    inv_mont = df.to_mont(jnp.asarray(ints_to_limbs(inv_per_query)), "fr")
+
+    h_vals = _h_accumulate(scaled, inv_mont)
+    h = FrVector(h_vals, n, domain)
+
+    e_commit = scheme.commit(params, h)
+    t.append_point(e_commit, "E")
+
+    h_minus_g = h - g
+    from ..hostmath.curve import g1_add, g1_neg
+
+    multiproof_commit = g1_add(e_commit, g1_neg(d_commit))
+    proof = scheme.prove_point(params, multiproof_commit, t_chal, h_minus_g, t)
+    return Multiproof(proof=proof, d=d_commit)
+
+
+def verify_multiproof(scheme, params, queries: list, proof: Multiproof) -> bool:
+    """``multiproof.rs:178-215``."""
+    from ..hostmath.curve import g1_add, g1_neg
+
+    domain = params.domain
+    n = domain.size
+
+    t = Transcript("multiproof")
+    _absorb_queries(t, queries)
+    r = t.digest("r", True)
+    t.append_point(proof.d, "D")
+    t_chal = t.digest("t", True)
+
+    inversions = fr_batch_inverse([(t_chal - i) % R for i in range(n)])
+
+    e_coeffs: dict = {}
+    r_pow = 1
+    for q in queries:
+        e_coeff = r_pow * inversions[q.z] % R
+        e_coeffs[q.commit] = (e_coeffs.get(q.commit, 0) + e_coeff) % R
+        # NOTE: the reference also accumulates g2_of_t += e_coeff * y here
+        # but never uses it (followed quirk; see module docstring).
+        r_pow = r_pow * r % R
+
+    commits = list(e_coeffs.keys())
+    coeffs = [e_coeffs[c] for c in commits]
+    pts = dc.host_points_to_affine(commits)
+    scalars = jnp.asarray(ints_to_limbs(coeffs))
+    e_dev = dmsm.msm_pippenger(pts, scalars, c=8, lanes=min(8, len(commits)))
+    e_commit = dc.projective_to_host_points(e_dev[None])[0]
+    t.append_point(e_commit, "E")
+
+    return scheme.verify_point(
+        params, g1_add(e_commit, g1_neg(proof.d)), t_chal, proof.proof, t
+    )
