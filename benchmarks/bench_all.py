@@ -1,0 +1,177 @@
+"""Measured numbers for the five BASELINE.md configs. Prints one JSON line
+per measurement. Run on the target device (TPU by default; force CPU via
+jax_platforms). Sizes tunable via env to keep smoke runs cheap.
+
+Timing method: the TPU tunnel has ~50-100 ms dispatch overhead and an
+unreliable block_until_ready, so device-dominated metrics are timed as
+(time of K chained calls - time of 1 call) / (K - 1) with a forced host
+transfer at the end of each timed program (see bench.py).
+"""
+
+import json
+import os
+import random
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+rng = random.Random(0xBE7C)
+
+
+def emit(metric, value, unit, **extra):
+    print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit, **extra}), flush=True)
+
+
+def t_wall(fn, reps=3):
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fn()
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_kzg():
+    """Config 1: KZG commit+open+verify, domain 256."""
+    from verkle_kzg_tpu.poly import FrVector
+    from verkle_kzg_tpu.schemes import KZG, kzg_setup
+
+    n = int(os.environ.get("BENCH_KZG_N", "256"))
+    crs = kzg_setup(n)
+    data = FrVector.from_ints([rng.randrange(1, 2**63) for _ in range(n)], crs.domain)
+    c = KZG.commit(crs, data)  # warm/compile
+    emit("kzg_commit_sec", t_wall(lambda: KZG.commit(crs, data)), "s", n=n)
+    p = KZG.prove(crs, c, 3, data)
+    emit("kzg_prove_sec", t_wall(lambda: KZG.prove(crs, c, 3, data)), "s", n=n)
+    emit("kzg_verify_sec", t_wall(lambda: KZG.verify(crs, c, 3, p), reps=1), "s", n=n)
+    return crs
+
+
+def bench_ipa():
+    """Config 2: IPA commit+prove+verify, domain 256, in-domain point."""
+    from verkle_kzg_tpu.poly import FrVector
+    from verkle_kzg_tpu.schemes import IPA, ipa_setup
+
+    n = int(os.environ.get("BENCH_IPA_N", "256"))
+    crs = ipa_setup(n)
+    data = FrVector.from_ints([rng.randrange(1, 2**63) for _ in range(n)], crs.domain)
+    c = IPA.commit(crs, data)
+    emit("ipa_commit_sec", t_wall(lambda: IPA.commit(crs, data)), "s", n=n)
+    pr = IPA.prove(crs, c, 3, data)
+    emit("ipa_prove_sec", t_wall(lambda: IPA.prove(crs, c, 3, data)), "s", n=n)
+    emit("ipa_verify_sec", t_wall(lambda: IPA.verify(crs, c, 3, pr)), "s", n=n)
+    return crs, data, c
+
+
+def bench_multiproof(ipa_state):
+    """Config 3: M-query multiproof (default 1024) over domain 256."""
+    from verkle_kzg_tpu.poly import FrVector
+    from verkle_kzg_tpu.schemes import IPA, ProverQuery, prove_multiproof, verify_multiproof
+
+    crs, data, c = ipa_state
+    m = int(os.environ.get("BENCH_MP_M", "1024"))
+    n = crs.domain.size
+    # reuse one dataset/commitment across queries (the expensive part is the
+    # per-query device math, which does not dedupe)
+    queries = []
+    vals = data.to_ints()
+    for i in range(m):
+        z = rng.randrange(n)
+        queries.append(ProverQuery(data=data, commit=c, z=z, y=vals[z]))
+    proof = prove_multiproof(IPA, crs, queries)  # warm
+    dt = t_wall(lambda: prove_multiproof(IPA, crs, queries), reps=1)
+    emit("multiproof_prove_sec", dt, "s", m=m, queries_per_sec=round(m / dt, 1))
+    vq = [q.to_verifier_query() for q in queries]
+    dt = t_wall(lambda: verify_multiproof(IPA, crs, vq, proof), reps=1)
+    emit("multiproof_verify_sec", dt, "s", m=m)
+
+
+def bench_verkle():
+    """Config 4: verkle build + prove (default 10k leaves, width-256)."""
+    from verkle_kzg_tpu.schemes import KZG, kzg_setup
+    from verkle_kzg_tpu.verkle import VerkleTree
+
+    leaves = int(os.environ.get("BENCH_VERKLE_LEAVES", "10000"))
+    crs = kzg_setup(256)
+    t = VerkleTree(KZG, crs, key_len=3, ext_width=256)
+    keys = set()
+    while len(keys) < leaves:
+        keys.add((rng.randrange(256), rng.randrange(256), rng.randrange(256)))
+    keys = sorted(keys)
+    t0 = time.perf_counter()
+    for k in keys:
+        t.insert_single(k, rng.randrange(1 << 256))
+    insert_dt = time.perf_counter() - t0
+    emit("verkle_insert_sec", insert_dt, "s", leaves=leaves)
+
+    t0 = time.perf_counter()
+    t.commitment()
+    dt = time.perf_counter() - t0
+    emit("verkle_commit_sec", dt, "s", leaves=leaves, leaves_per_sec=round(leaves / dt, 1))
+
+    sample = keys[:: max(1, len(keys) // 16)][:16]
+    t0 = time.perf_counter()
+    proof, vq = t.prove_keys(sample)
+    emit("verkle_prove16_sec", time.perf_counter() - t0, "s", keys=len(sample))
+
+
+def bench_msm_sweep():
+    """Config 5: MSM sweep (default 2^16..2^20), single device."""
+    from verkle_kzg_tpu.hostmath import curve as hc
+    from verkle_kzg_tpu.ops import curve as dc
+    from verkle_kzg_tpu.ops import msm as dmsm
+    from verkle_kzg_tpu.ops.limbs import ints_to_limbs
+    from verkle_kzg_tpu.params import R
+
+    lo = int(os.environ.get("BENCH_MSM_LO", "16"))
+    hi = int(os.environ.get("BENCH_MSM_HI", "20"))
+    lanes = int(os.environ.get("BENCH_LANES", "256"))
+    c = int(os.environ.get("BENCH_WINDOW_C", "8"))
+    nrng = np.random.default_rng(7)
+
+    for logn in range(lo, hi + 1):
+        n = 1 << logn
+        base = [(int(x) % (R - 1)) + 1 for x in nrng.integers(1, 1 << 62, n)]
+        g_dev = jnp.broadcast_to(
+            dc.host_point_to_projective(hc.g1_generator()), (3, 16, n)
+        )
+        pts = dc.to_affine(jax.jit(dc.scalar_mul)(g_dev, jnp.asarray(ints_to_limbs(base).T)))
+        np.asarray(pts)
+        scal = jnp.asarray(
+            ints_to_limbs([int(x) % R for x in nrng.integers(0, 1 << 63, n)]).T
+        )
+
+        def chained(k):
+            def fn(p, s):
+                acc = dc.infinity((), 1)
+                for i in range(k):
+                    acc = dc.add(acc, dmsm.msm_pippenger(p, jnp.roll(s, i, -1), c=c, lanes=lanes))
+                return acc
+            return jax.jit(fn)
+
+        f1, f3 = chained(1), chained(3)
+        np.asarray(f1(pts, scal)); np.asarray(f3(pts, scal))
+        t1 = t_wall(lambda: np.asarray(f1(pts, scal)), reps=2)
+        t3 = t_wall(lambda: np.asarray(f3(pts, scal)), reps=2)
+        per = max(t3 - t1, 1e-9) / 2
+        emit("msm_points_per_sec", n / per, "points/s", log2n=logn, c=c, lanes=lanes)
+
+
+if __name__ == "__main__":
+    which = os.environ.get("BENCH_ONLY", "kzg,ipa,multiproof,verkle,msm").split(",")
+    ipa_state = None
+    if "kzg" in which:
+        bench_kzg()
+    if "ipa" in which or "multiproof" in which:
+        ipa_state = bench_ipa()
+    if "multiproof" in which:
+        bench_multiproof(ipa_state)
+    if "verkle" in which:
+        bench_verkle()
+    if "msm" in which:
+        bench_msm_sweep()

@@ -71,7 +71,7 @@ def test_scalar_mul():
     pts = [g, rand_points(1)[0], None, g]
     ks = [rng.randrange(R), rng.randrange(R), 12345, 0]
     p = dc.from_affine(dc.host_points_to_affine(pts))
-    scalars = jnp.asarray(ints_to_limbs(ks))
+    scalars = jnp.asarray(ints_to_limbs(ks).T)
     out = dc.projective_to_host_points(dc.scalar_mul(p, scalars))
     assert out == [hc.g1_mul(pt, k) for pt, k in zip(pts, ks)]
 
@@ -86,3 +86,11 @@ def test_eq_and_neg():
     # -infinity == infinity, -P != P for real points
     same = dc.eq(p, negp)
     assert list(np.asarray(same)) == [False, False, False, True]
+
+
+def test_layout_shapes():
+    pts = rand_points(5)
+    a = dc.host_points_to_affine(pts)
+    assert a.shape == (2, 16, 5)
+    p = dc.from_affine(a)
+    assert p.shape == (3, 16, 5)

@@ -1,4 +1,4 @@
-"""Pippenger MSM vs the naive oracle and hostmath."""
+"""Pippenger MSM vs the naive oracle and hostmath (limb-major layout)."""
 
 import random
 
@@ -30,26 +30,27 @@ def setup_case(n, include_edge=True):
 def test_msm_naive_oracle():
     pts, ks, expect = setup_case(6)
     p = dc.from_affine(dc.host_points_to_affine(pts))
-    s = jnp.asarray(ints_to_limbs(ks))
+    s = jnp.asarray(ints_to_limbs(ks).T)
     out = dmsm.msm_naive(p, s)
-    assert dc.projective_to_host_points(out[None])[0] == expect
+    assert dc.projective_to_host_points(out)[0] == expect
 
 
 @pytest.mark.parametrize("n,c,lanes", [(7, 8, 2), (33, 5, 8)])
 def test_msm_pippenger(n, c, lanes):
     pts, ks, expect = setup_case(n)
     pa = dc.host_points_to_affine(pts)
-    s = jnp.asarray(ints_to_limbs(ks))
+    s = jnp.asarray(ints_to_limbs(ks).T)
     fn = jax.jit(lambda p, k: dmsm.msm_pippenger(p, k, c=c, lanes=lanes))
     out = fn(pa, s)
-    assert dc.projective_to_host_points(out[None])[0] == expect
+    assert dc.projective_to_host_points(out)[0] == expect
 
 
 def test_msm_batched():
     cases = [setup_case(8, include_edge=(i % 2 == 0)) for i in range(3)]
     pa = jnp.stack([dc.host_points_to_affine(c[0]) for c in cases])
-    s = jnp.stack([jnp.asarray(ints_to_limbs(c[1])) for c in cases])
+    s = jnp.stack([jnp.asarray(ints_to_limbs(c[1]).T) for c in cases])
     out = jax.jit(lambda p, k: dmsm.msm_batched(p, k, c=8))(pa, s)
+    assert out.shape == (3, 16, 3)
     got = dc.projective_to_host_points(out)
     assert got == [c[2] for c in cases]
 
@@ -58,7 +59,7 @@ def test_msm_fixed_base():
     pts, _, _ = setup_case(8, include_edge=False)
     pa = dc.host_points_to_affine(pts)
     kss = [[rng.randrange(R) for _ in range(8)] for _ in range(2)]
-    s = jnp.stack([jnp.asarray(ints_to_limbs(ks)) for ks in kss])
+    s = jnp.stack([jnp.asarray(ints_to_limbs(ks).T) for ks in kss])
     out = jax.jit(lambda p, k: dmsm.msm_fixed_base(p, k))(pa, s)
     got = dc.projective_to_host_points(out)
     assert got == [hc.g1_msm_naive(pts, ks) for ks in kss]

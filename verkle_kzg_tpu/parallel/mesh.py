@@ -48,28 +48,28 @@ def msm_sharded(
     """One big MSM sharded over the mesh -> replicated (3, L) result."""
     axis = mesh.axis_names[0]
     d = mesh.shape[axis]
-    n = points_affine.shape[0]
+    n = points_affine.shape[-1]
 
     # pad so every shard gets an equal static slice (infinity sentinels)
     per = math.ceil(n / d)
     padded = per * d
     if padded != n:
         points_affine = jnp.concatenate(
-            [points_affine, jnp.zeros((padded - n, 2, 16), jnp.uint32)], axis=0
+            [points_affine, jnp.zeros((2, 16, padded - n), jnp.uint32)], axis=-1
         )
         scalars = jnp.concatenate(
-            [scalars, jnp.zeros((padded - n, 16), jnp.uint32)], axis=0
+            [scalars, jnp.zeros((16, padded - n), jnp.uint32)], axis=-1
         )
 
     def local(pts, scs):
-        part = dmsm.msm_pippenger(pts, scs, c=c, lanes=lanes)  # (3, L)
-        parts = jax.lax.all_gather(part, axis)  # (D, 3, L)
+        part = dmsm.msm_pippenger(pts, scs, c=c, lanes=lanes)  # (3, L, 1)
+        parts = jax.lax.all_gather(part, axis)  # (D, 3, L, 1)
         return dmsm.tree_reduce_points(parts, axis=0)
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis)),
+        in_specs=(P(None, None, axis), P(None, axis)),
         out_specs=P(),  # replicated
         # the limb kernels build scan carries from jnp.zeros (unvarying);
         # skip the varying-manual-axes check — every op is shard-local by
@@ -102,10 +102,10 @@ def msm_batched_sharded(
         )
 
     fn = shard_map(
-        functools.partial(dmsm.msm_batched, c=c, lanes=1),
+        functools.partial(dmsm.msm_batched, c=c),
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
-        out_specs=P(axis),
+        out_specs=P(None, None, axis),  # result batch rides the lane axis
         check_vma=False,
     )
-    return fn(points_affine, scalars)[:b]
+    return fn(points_affine, scalars)[..., :b]

@@ -4,8 +4,7 @@ ark_poly's Radix2EvaluationDomain).
 
 Host side keeps python-int mirrors for O(1) protocol arithmetic (transcript
 challenges, single barycentric vectors); device side keeps Montgomery-form
-limb planes for the batched kernels. All constants derive from
-``params.fr_root_of_unity`` which matches ark_poly's group_gen derivation.
+limb planes — LAYOUT (L, N): domain elements ride the lane axis.
 """
 
 from __future__ import annotations
@@ -16,9 +15,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..hostmath.field import fr_batch_inverse, fr_inv
-from ..params import R, fr_root_of_unity
+from ..params import R, NLIMBS, fr_root_of_unity
 from ..ops import field as df
 from ..ops.limbs import ints_to_limbs
+
+L = NLIMBS
 
 
 def _next_pow2(n: int) -> int:
@@ -47,33 +48,30 @@ class Domain:
         self.vanishing = [n * fr_inv(w) % R for w in self.omegas]
         self.vanishing_inv = fr_batch_inverse(self.vanishing)
 
-    # -- device mirrors (Montgomery form), built lazily ---------------------
+    # -- device mirrors (Montgomery form, (L, N)), built lazily --------------
 
     @functools.cached_property
     def d_omegas(self) -> jnp.ndarray:
-        return df.to_mont(jnp.asarray(ints_to_limbs(self.omegas)), "fr")
+        return df.to_mont(jnp.asarray(ints_to_limbs(self.omegas).T), "fr")
 
     @functools.cached_property
     def d_vanishing(self) -> jnp.ndarray:
-        return df.to_mont(jnp.asarray(ints_to_limbs(self.vanishing)), "fr")
+        return df.to_mont(jnp.asarray(ints_to_limbs(self.vanishing).T), "fr")
 
     @functools.cached_property
     def d_vanishing_inv(self) -> jnp.ndarray:
-        return df.to_mont(jnp.asarray(ints_to_limbs(self.vanishing_inv)), "fr")
+        return df.to_mont(jnp.asarray(ints_to_limbs(self.vanishing_inv).T), "fr")
 
     @functools.cached_property
     def d_invdiff(self) -> jnp.ndarray:
-        """(N, N, L) Montgomery matrix InvDiff[z, i] = 1/(w^i - w^z), zero on
-        the diagonal. One-time cost per domain; feeds every in-domain
-        quotient (``lagrange_basis.rs:91-119``) as a dense gather."""
+        """(Z, L, N) Montgomery tensor InvDiff[z, :, i] = 1/(w^i - w^z), zero
+        on the diagonal. One-time cost per domain; feeds every in-domain
+        quotient (``lagrange_basis.rs:91-119``) as a dense row gather."""
         n = self.size
-        wi = self.d_omegas[None, :, :]  # (1, N, L)
-        wz = self.d_omegas[:, None, :]  # (N, 1, L)
-        diff = df.sub(
-            jnp.broadcast_to(wi, (n, n, 16)), jnp.broadcast_to(wz, (n, n, 16)), "fr"
-        )
-        inv = df.batch_inv_mont(diff.reshape(n * n, 16), "fr").reshape(n, n, 16)
-        return inv
+        wi = jnp.broadcast_to(self.d_omegas[None], (n, L, n))
+        wz = jnp.moveaxis(self.d_omegas, -1, 0)[:, :, None]  # (N, L, 1)
+        diff = df.sub(wi, jnp.broadcast_to(wz, (n, L, n)), "fr")
+        return df.batch_inv_mont(diff, "fr", axis=-1)
 
     # -- host-side helpers ---------------------------------------------------
 

@@ -3,17 +3,16 @@
 Mirrors the semantics of ``vector-commit/src/lagrange_basis.rs`` — including
 the ``max`` watermark (data can be shorter than the domain; indices >= max
 read as zero) and the 3-path ``evaluate`` — but stores the data as a
-Montgomery-form limb-plane array so all batched math runs on device.
+Montgomery-form limb-plane array of shape (L, N) (elements in lanes) so all
+batched math runs packed on device.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..params import R, NLIMBS
 from ..ops import field as df
@@ -28,17 +27,17 @@ def _quotient_in_domain(vals, invdiff_row, vanishing_ratio_row, index):
     """q = (f - f[index]) / (X - w^index) on the domain, with the q[index]
     correction term of ``lagrange_basis.rs:91-119``.
 
-    invdiff_row[i] = 1/(w^i - w^index) (0 at i = index);
-    vanishing_ratio_row[i] = A'(w^index) / A'(w^i).
+    vals/invdiff_row/ratio: (L, N); invdiff_row[:, i] = 1/(w^i - w^index)
+    (zero at i = index); ratio[:, i] = A'(w^index) / A'(w^i).
     """
-    f_z = vals[index]
+    f_z = jax.lax.dynamic_slice_in_dim(vals, index, 1, axis=-1)  # (L, 1)
     sub = df.sub(vals, jnp.broadcast_to(f_z, vals.shape), "fr")  # f_i - f_z
-    q = df.mont_mul(sub, invdiff_row, "fr")  # zero at i=index (invdiff 0)
-    # q[index] = sum_i (f_i - f_z) * ratio_i * (1/(w^z - w^i))
-    #          = sum_i -(f_i - f_z) * ratio_i * invdiff_row[i]
+    q = df.mont_mul(sub, invdiff_row, "fr")  # zero at i = index
+    # q[index] = sum_i -(f_i - f_z) * ratio_i * invdiff_row[i]
     corr_terms = df.neg(df.mont_mul(q, vanishing_ratio_row, "fr"), "fr")
-    corr = df.lazy_sum(corr_terms, 0, "fr")
-    return q.at[index].set(corr)
+    corr = df.lazy_sum_lanes(corr_terms, "fr")  # (L, 1)
+    lane = jnp.arange(q.shape[-1])[None, :] == index
+    return jnp.where(lane, corr, q)
 
 
 @jax.jit
@@ -48,10 +47,15 @@ def _quotient_out_domain(vals, eval_mont, inv_terms):
     return df.mont_mul(sub, inv_terms, "fr")
 
 
+def _int_to_mont_col(v: int) -> jnp.ndarray:
+    """(L, 1) Montgomery column for a single scalar."""
+    return df.to_mont(jnp.asarray(ints_to_limbs([v % R]).T), "fr")
+
+
 @dataclasses.dataclass
 class FrVector:
     """Data vector in evaluation form over ``domain``; ``vals`` is a
-    (domain.size, L) Montgomery-form device array, zero-padded past ``max``."""
+    (L, domain.size) Montgomery-form device array, zero-padded past ``max``."""
 
     vals: jnp.ndarray
     max: int
@@ -67,32 +71,30 @@ class FrVector:
         n = domain.size
         assert len(data) <= n
         padded = data + [0] * (n - len(data))
-        vals = df.to_mont(jnp.asarray(ints_to_limbs(padded)), "fr")
+        vals = df.to_mont(jnp.asarray(ints_to_limbs(padded).T), "fr")
         return FrVector(vals, len(data), domain)
 
     @staticmethod
     def zero(domain: Domain) -> "FrVector":
-        return FrVector(df.zeros((domain.size,)), domain.size, domain)
+        return FrVector(df.zeros((), domain.size), domain.size, domain)
 
     def to_ints(self) -> list:
-        return limbs_to_ints(df.from_mont(self.vals, "fr"))
+        return limbs_to_ints(df.from_mont(self.vals, "fr").T)
 
     def to_scalars_standard(self) -> jnp.ndarray:
-        """Standard-form limbs for MSM consumption."""
+        """Standard-form limbs (L, N) for MSM consumption."""
         return df.from_mont(self.vals, "fr")
 
     # -- reference-semantics evaluation (lagrange_basis.rs:59-72) -----------
 
     def get(self, index: int) -> int:
-        return limbs_to_ints(df.from_mont(self.vals[index], "fr").reshape(1, L))[0]
+        col = df.from_mont(self.vals[:, index : index + 1], "fr")
+        return limbs_to_ints(col.T)[0]
 
     def evaluate(self, point: int) -> int:
-        """3-path evaluate: stored / zero-inside-domain / barycentric.
-
-        The boundaries replicate the reference exactly: stored if
-        point <= max-1, zero if point <= domain_size, else barycentric
-        (note the reference's own off-by-one quirks, SURVEY.md §5 item 2,
-        are preserved faithfully here)."""
+        """3-path evaluate: stored / zero-inside-domain / barycentric,
+        boundaries replicated exactly (incl. the reference's own off-by-one
+        quirks, SURVEY.md §5 item 2)."""
         if point <= self.max - 1:
             return self.get(point)
         if point <= self.domain.size:
@@ -109,12 +111,11 @@ class FrVector:
     def divide_by_vanishing(self, index: int) -> "FrVector":
         """In-domain quotient (``lagrange_basis.rs:91-119``)."""
         n = self.domain.size
-        invdiff_row = self.domain.d_invdiff[index]  # 1/(w^i - w^index)
+        invdiff_row = self.domain.d_invdiff[index]  # (L, N)
+        van_z = self.domain.d_vanishing[:, index : index + 1]  # (L, 1)
         ratio = df.mont_mul(
-            jnp.broadcast_to(self.domain.d_vanishing[index], (n, L)),
-            self.domain.d_vanishing_inv,
-            "fr",
-        )  # A'(z)/A'(i)
+            jnp.broadcast_to(van_z, (L, n)), self.domain.d_vanishing_inv, "fr"
+        )
         q = _quotient_in_domain(self.vals, invdiff_row, ratio, jnp.int32(index))
         return FrVector(q, n, self.domain)
 
@@ -122,11 +123,10 @@ class FrVector:
         """Out-of-domain quotient (``lagrange_basis.rs:121-142``)."""
         n = self.domain.size
         ev = self.evaluate(point)
-        z_mont = df.to_mont(jnp.asarray(ints_to_limbs([point % R])), "fr")[0]
-        diff = df.sub(self.domain.d_omegas, jnp.broadcast_to(z_mont, (n, L)), "fr")
-        inv_terms = df.batch_inv_mont(diff, "fr")
-        ev_mont = df.to_mont(jnp.asarray(ints_to_limbs([ev])), "fr")[0]
-        q = _quotient_out_domain(self.vals, ev_mont, inv_terms)
+        z_mont = _int_to_mont_col(point)
+        diff = df.sub(self.domain.d_omegas, jnp.broadcast_to(z_mont, (L, n)), "fr")
+        inv_terms = df.batch_inv_mont(diff, "fr", axis=-1)
+        q = _quotient_out_domain(self.vals, _int_to_mont_col(ev), inv_terms)
         return FrVector(q, n, self.domain)
 
     # -- arithmetic ------------------------------------------------------------
@@ -144,7 +144,7 @@ class FrVector:
         )
 
     def scale(self, k: int) -> "FrVector":
-        k_mont = df.to_mont(jnp.asarray(ints_to_limbs([k % R])), "fr")[0]
+        k_mont = _int_to_mont_col(k)
         return FrVector(
             df.mont_mul(self.vals, jnp.broadcast_to(k_mont, self.vals.shape), "fr"),
             self.max,
@@ -152,7 +152,5 @@ class FrVector:
         )
 
     def inner_product_ints(self, other_ints: list) -> int:
-        """<self, other> mod r with ``other`` as host ints (protocol-size
-        vectors only; batched paths use device inner products)."""
         vals = self.to_ints()
         return sum(v * o % R for v, o in zip(vals, other_ints)) % R

@@ -41,32 +41,32 @@ def prove_all_points(params: KZGParams, data: FrVector) -> list:
     assert data.domain.size == n
 
     # 1. coefficients of f
-    c = dntt.intt_fr(data.vals)  # (N, L) mont
+    c = dntt.intt_fr(data.vals)  # (L, N) mont
 
     # 2. monomial SRS back from the Lagrange SRS. Setup computed
     #    lagrange = ifft(monomial) (kzg/mod.rs:121), so the inverse map is
     #    the FORWARD fft. (The reference's dead FK code applies ifft again
     #    at kzg/mod.rs:215 — part of the same documented breakage.)
     lag = dc.from_affine(params.lagrange_affine)
-    mono = dntt.ntt_g1(lag)  # [s^i G], (N, 3, L)
+    mono = dntt.ntt_g1(lag)  # [s^i G], (3, L, N)
 
     # 3. circulant Toeplitz product at size 2N:
     #    c_hat = [c_0..c_{N-1}, 0 x N]
     #    s_hat = [a_{N-2}, ..., a_0, 0 x (N+1)]   (a_i = s^i G)
     #    r = INTT_G1( NTT_G1(s_hat) .* NTT_Fr(c_hat) )  ->  h_j = r_{N-1+j}
-    zeros_fr = df.zeros((n,))
-    c_hat = jnp.concatenate([c, zeros_fr], axis=0)  # (2N, L)
+    c_hat = jnp.concatenate([c, df.zeros((), n)], axis=-1)  # (L, 2N)
 
-    a_rev = mono[: n - 1][::-1]  # a_{N-2} .. a_0
-    inf_pad = dc.infinity((n + 1,))
-    s_hat = jnp.concatenate([a_rev, inf_pad], axis=0)  # (2N, 3, L)
+    a_rev = mono[..., : n - 1][..., ::-1]  # a_{N-2} .. a_0
+    s_hat = jnp.concatenate([a_rev, dc.infinity((), n + 1)], axis=-1)  # (3, L, 2N)
 
-    y_f = dntt.ntt_fr(c_hat)  # (2N, L) mont
-    v_g = dntt.ntt_g1(s_hat)  # (2N, 3, L)
+    y_f = dntt.ntt_fr(c_hat)  # (L, 2N) mont
+    v_g = dntt.ntt_g1(s_hat)  # (3, L, 2N)
     u = dc.scalar_mul(v_g, df.from_mont(y_f, "fr"))
     r = dntt.intt_g1(u)
 
-    h = jnp.concatenate([r[n - 1 : 2 * n - 2], dc.infinity((1,))], axis=0)  # (N,3,L)
+    h = jnp.concatenate(
+        [r[..., n - 1 : 2 * n - 2], dc.infinity((), 1)], axis=-1
+    )  # (3, L, N)
 
     # 4. proofs = h evaluated over the domain
     pis = dntt.ntt_g1(h)

@@ -40,7 +40,7 @@ def kzg_generate_monomial_srs(num: int, secret: int = DEFAULT_KZG_SECRET) -> lis
     for i in range(1, num):
         powers[i] = powers[i - 1] * secret % R
     g_dev = dc.from_affine(dc.host_points_to_affine([g] * num))
-    scalars = jnp.asarray(ints_to_limbs(powers))
+    scalars = jnp.asarray(ints_to_limbs(powers).T)
     pts = jax.jit(dc.scalar_mul)(g_dev, scalars)
     return dc.projective_to_host_points(pts)
 

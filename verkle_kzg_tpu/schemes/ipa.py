@@ -38,39 +38,47 @@ L = NLIMBS
 
 
 def _int_to_mont(v: int) -> jnp.ndarray:
-    return df.to_mont(jnp.asarray(ints_to_limbs([v % R])), "fr")[0]
+    """(L, 1) Montgomery column."""
+    return df.to_mont(jnp.asarray(ints_to_limbs([v % R]).T), "fr")
+
+
+def _int_to_std(v: int) -> jnp.ndarray:
+    """(L, 1) standard-form column."""
+    return jnp.asarray(ints_to_limbs([v % R]).T)
 
 
 def _mont_to_int(x: jnp.ndarray) -> int:
-    return limbs_to_ints(df.from_mont(x.reshape(1, L), "fr"))[0]
+    """(L, 1) Montgomery column -> python int."""
+    return limbs_to_ints(df.from_mont(x, "fr").T)[0]
 
 
 @jax.jit
 def _inner_mont(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """<a, b> over Fr for Montgomery-form (n, L) vectors."""
-    return df.lazy_sum(df.mont_mul(a, b, "fr"), 0, "fr")
+    """<a, b> over Fr for Montgomery-form (L, n) vectors -> (L, 1)."""
+    return df.lazy_sum_lanes(df.mont_mul(a, b, "fr"), "fr")
 
 
 @jax.jit
 def _fold_field(lo: jnp.ndarray, hi: jnp.ndarray, x_mont: jnp.ndarray):
-    """lo + x*hi (vec_add_and_distribute, ``utils.rs:31-38``)."""
+    """lo + x*hi (vec_add_and_distribute, ``utils.rs:31-38``); x (L, 1)."""
     return df.add(lo, df.mont_mul(hi, jnp.broadcast_to(x_mont, hi.shape), "fr"), "fr")
 
 
 @jax.jit
 def _fold_points(keep: jnp.ndarray, scaled: jnp.ndarray, x_std: jnp.ndarray):
-    """keep + x*scaled for projective (n, 3, L) points."""
-    n = scaled.shape[0]
-    prod = dc.scalar_mul(scaled, jnp.broadcast_to(x_std, (n, L)))
+    """keep + x*scaled for projective (3, L, n) points; x (L, 1) standard."""
+    n = scaled.shape[-1]
+    prod = dc.scalar_mul(scaled, jnp.broadcast_to(x_std, (L, n)))
     return dc.add(keep, prod)
 
 
 def _msm_proj(points_proj: jnp.ndarray, scalars_mont: jnp.ndarray):
-    """MSM over projective points with Montgomery scalars -> host point."""
+    """MSM over (3, L, n) projective points with Montgomery scalars -> host
+    point."""
     aff = dc.to_affine(points_proj)
     std = df.from_mont(scalars_mont, "fr")
-    out = dmsm.msm_pippenger(aff, std, c=8, lanes=min(8, points_proj.shape[0]))
-    return dc.projective_to_host_points(out[None])[0]
+    out = dmsm.msm_auto(aff, std)
+    return dc.projective_to_host_points(out)[0]
 
 
 @dataclasses.dataclass
@@ -129,10 +137,8 @@ class IPA:
     @staticmethod
     def commit(params: IPAParams, data: FrVector):
         """C = <g, a> (``ipa/mod.rs:130-135``): one device Pippenger MSM."""
-        out = dmsm.msm_pippenger(
-            params.g_affine, data.to_scalars_standard(), c=8, lanes=8
-        )
-        return dc.projective_to_host_points(out[None])[0]
+        out = dmsm.msm_auto(params.g_affine, data.to_scalars_standard())
+        return dc.projective_to_host_points(out)[0]
 
     # -- eval proofs ----------------------------------------------------------
 
@@ -145,7 +151,7 @@ class IPA:
         params: IPAParams, commitment, point: int, data: FrVector, transcript=None
     ) -> IPAProof:
         b = params.domain.barycentric_coefficients(point)
-        b_mont = df.to_mont(jnp.asarray(ints_to_limbs(b)), "fr")
+        b_mont = df.to_mont(jnp.asarray(ints_to_limbs(b).T), "fr")
         return _low_level_ipa(params, data.vals, b_mont, commitment, point, transcript)
 
     @staticmethod
@@ -166,8 +172,8 @@ class IPA:
         params: IPAParams, commitment, data: FrVector
     ) -> IPACommitProof:
         m = data.max  # reference: data.max() + 1 elements = data.max
-        a = data.vals[:m]
-        g = params.g_proj[:m]
+        a = data.vals[:, :m]
+        g = params.g_proj[..., :m]
         l_pts, r_pts = [], []
 
         t = Transcript(IPA.transcript_label)
@@ -177,8 +183,8 @@ class IPA:
         n_cur = m
         while n_cur > 1:
             half = n_cur // 2
-            a_l, a_r = a[:half], a[half:]
-            g_l, g_r = g[:half], g[half:]
+            a_l, a_r = a[:, :half], a[:, half:]
+            g_l, g_r = g[..., :half], g[..., half:]
             y_l = _msm_proj(g_r, a_l)
             y_r = _msm_proj(g_l, a_r)
             l_pts.append(y_l)
@@ -186,13 +192,11 @@ class IPA:
             t.append_point(y_l, "L")
             t.append_point(y_r, "R")
             ra = t.digest("x", True)
-            x_mont = _int_to_mont(ra)
-            x_std = jnp.asarray(ints_to_limbs([ra]))[0]
-            a = _fold_field(a_l, a_r, x_mont)
-            g = _fold_points(g_r, g_l, x_std)
+            a = _fold_field(a_l, a_r, _int_to_mont(ra))
+            g = _fold_points(g_r, g_l, _int_to_std(ra))
             n_cur = half
 
-        return IPACommitProof(l=l_pts, r=r_pts, tip=_mont_to_int(a[0]))
+        return IPACommitProof(l=l_pts, r=r_pts, tip=_mont_to_int(a))
 
     @staticmethod
     def verify_commitment_proof(
@@ -213,7 +217,8 @@ class IPA:
             coeffs = [v for x in coeffs for v in (x * ra % R, x)]
 
         combined = _msm_proj(
-            params.g_proj[:n], df.to_mont(jnp.asarray(ints_to_limbs(coeffs)), "fr")
+            params.g_proj[..., :n],
+            df.to_mont(jnp.asarray(ints_to_limbs(coeffs).T), "fr"),
         )
         return g1_mul(combined, proof.tip) == c
 
@@ -228,7 +233,7 @@ def _low_level_ipa(
 ) -> IPAProof:
     """The halving loop (``ipa/mod.rs:268-319``), host-sequenced, device-
     computed."""
-    n = a.shape[0]
+    n = a.shape[-1]
     eval_ = _mont_to_int(_inner_mont(a, b))
 
     t = transcript if transcript is not None else Transcript(IPA.transcript_label)
@@ -244,9 +249,9 @@ def _low_level_ipa(
     n_cur = n
     while n_cur > 1:
         half = n_cur // 2
-        a_l, a_r = a[:half], a[half:]
-        g_l, g_r = g[:half], g[half:]
-        b_l, b_r = b[:half], b[half:]
+        a_l, a_r = a[:, :half], a[:, half:]
+        g_l, g_r = g[..., :half], g[..., half:]
+        b_l, b_r = b[:, :half], b[:, half:]
 
         ip_l = _mont_to_int(_inner_mont(a_l, b_r))
         ip_r = _mont_to_int(_inner_mont(a_r, b_l))
@@ -259,14 +264,13 @@ def _low_level_ipa(
         t.append_point(y_r, "R")
         ra = t.digest("x", True)
         x_mont = _int_to_mont(ra)
-        x_std = jnp.asarray(ints_to_limbs([ra]))[0]
 
         a = _fold_field(a_l, a_r, x_mont)
-        g = _fold_points(g_r, g_l, x_std)
+        g = _fold_points(g_r, g_l, _int_to_std(ra))
         b = _fold_field(b_r, b_l, x_mont)
         n_cur = half
 
-    return IPAProof(l=l_pts, r=r_pts, tip=_mont_to_int(a[0]), y=eval_)
+    return IPAProof(l=l_pts, r=r_pts, tip=_mont_to_int(a), y=eval_)
 
 
 def _low_level_verify_ipa(
@@ -295,8 +299,8 @@ def _low_level_verify_ipa(
         c = g1_add(li, g1_add(g1_mul(c, ra), g1_mul(ri, ra * ra % R)))
         coeffs = [v for x in coeffs for v in (x * ra % R, x)]
 
-    coeffs_mont = df.to_mont(jnp.asarray(ints_to_limbs(coeffs)), "fr")
-    combined_point = _msm_proj(params.g_proj[: len(coeffs)], coeffs_mont)
+    coeffs_mont = df.to_mont(jnp.asarray(ints_to_limbs(coeffs).T), "fr")
+    combined_point = _msm_proj(params.g_proj[..., : len(coeffs)], coeffs_mont)
     combined_b = sum(bi * ci % R for bi, ci in zip(b, coeffs)) % R
 
     lhs = g1_add(

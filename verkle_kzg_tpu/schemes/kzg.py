@@ -74,7 +74,7 @@ def kzg_setup(max_items: int, secret: int = DEFAULT_KZG_SECRET) -> KZGParams:
     lag = [t * w % R * d % R for w, d in zip(domain.omegas, denoms)]
     g = g1_generator()
     g_dev = dc.from_affine(dc.host_points_to_affine([g] * n))
-    pts = jax.jit(dc.scalar_mul)(g_dev, jnp.asarray(ints_to_limbs(lag)))
+    pts = jax.jit(dc.scalar_mul)(g_dev, jnp.asarray(ints_to_limbs(lag).T))
     return KZGParams(
         size=n,
         lagrange_host=dc.projective_to_host_points(pts),
@@ -96,10 +96,8 @@ class KZG:
     @staticmethod
     def commit(params: KZGParams, data: FrVector):
         """C = <lagrange_srs, a> (``kzg/mod.rs:126-134``)."""
-        out = dmsm.msm_pippenger(
-            params.lagrange_affine, data.to_scalars_standard(), c=8, lanes=8
-        )
-        return dc.projective_to_host_points(out[None])[0]
+        out = dmsm.msm_auto(params.lagrange_affine, data.to_scalars_standard())
+        return dc.projective_to_host_points(out)[0]
 
     @staticmethod
     def prove(params: KZGParams, commitment, index: int, data: FrVector) -> KZGProof:
@@ -122,10 +120,8 @@ class KZG:
             q = data.divide_by_vanishing(point)
         else:
             q = data.divide_by_vanishing_outside(point)
-        out = dmsm.msm_pippenger(
-            params.lagrange_affine, q.to_scalars_standard(), c=8, lanes=8
-        )
-        pi = dc.projective_to_host_points(out[None])[0]
+        out = dmsm.msm_auto(params.lagrange_affine, q.to_scalars_standard())
+        pi = dc.projective_to_host_points(out)[0]
         return KZGProof(proof=pi, y=evaluation)
 
     @staticmethod

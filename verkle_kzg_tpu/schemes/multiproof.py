@@ -26,6 +26,7 @@ compatibility.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -69,16 +70,17 @@ class Multiproof:
     d: tuple  # commitment to g(x)
 
 
-@jax.jit
-def _scale_and_group(data_stack, r_pows, z_idx, n_static):
+@functools.partial(jax.jit, static_argnames="n")
+def _scale_and_group(data_stack, r_pows, z_idx, n: int):
     """Scale each query's data by r^i and scatter-sum into per-z rows.
 
-    data_stack: (M, N, L) Mont; r_pows: (M, L) Mont; z_idx: (M,) int32.
-    Returns scaled (M, N, L) and grouped (N, N, L) [row z = sum of scaled
-    data of queries at z].
+    data_stack: (M, L, N) Mont; r_pows: (M, L, 1) Mont; z_idx: (M,) int32.
+    Returns scaled (M, L, N) and grouped (Z=n, L, N) [row z = sum of the
+    scaled data of the queries opening at z]. The scatter-sum is EXACT lazy
+    integer addition on limb planes (M < 2^16 keeps columns < 2^32),
+    collapsed by one Montgomery pass.
     """
-    scaled = df.mont_mul(data_stack, r_pows[:, None, :], "fr")
-    n = n_static.shape[0]  # static-shape carrier
+    scaled = df.mont_mul(data_stack, jnp.broadcast_to(r_pows, data_stack.shape), "fr")
     grouped_lazy = jnp.zeros((n,) + scaled.shape[1:], jnp.uint32).at[z_idx].add(scaled)
     grouped = df.reduce_columns(grouped_lazy, "fr")
     return scaled, grouped
@@ -88,18 +90,26 @@ def _scale_and_group(data_stack, r_pows, z_idx, n_static):
 def _all_quotients_sum(grouped, invdiff, vanishing, vanishing_inv):
     """g(x) = sum_z quotient(grouped[z], z)  — dense over all domain points.
 
-    invdiff: (N, N, L) Mont InvDiff[z, i]; vanishing/vanishing_inv: (N, L).
+    grouped/invdiff: (Z, L, N); vanishing/vanishing_inv: (L, N).
+    Rows whose grouped data is zero contribute zero quotients, so running
+    every domain point unconditionally is branchless AND correct.
     """
     n = grouped.shape[0]
-    ratio = df.mont_mul(vanishing[:, None, :], vanishing_inv[None, :, :], "fr")
+    van_z = jnp.moveaxis(vanishing, -1, 0)[:, :, None]  # (Z, L, 1)
+    ratio = df.mont_mul(
+        jnp.broadcast_to(van_z, grouped.shape),
+        jnp.broadcast_to(vanishing_inv[None], grouped.shape),
+        "fr",
+    )
     q = jax.vmap(_quotient_in_domain)(grouped, invdiff, ratio, jnp.arange(n))
     return df.lazy_sum(q, 0, "fr")
 
 
 @jax.jit
 def _h_accumulate(scaled, inv_factors):
-    """h(x) = sum_m scaled_m * (1/(t - z_m)) — ``multiproof.rs:161-166``."""
-    terms = df.mont_mul(scaled, inv_factors[:, None, :], "fr")
+    """h(x) = sum_m scaled_m * (1/(t - z_m)) — ``multiproof.rs:161-166``.
+    scaled: (M, L, N); inv_factors: (M, L, 1)."""
+    terms = df.mont_mul(scaled, jnp.broadcast_to(inv_factors, scaled.shape), "fr")
     return df.lazy_sum(terms, 0, "fr")
 
 
@@ -121,12 +131,13 @@ def prove_multiproof(scheme, params, queries: list) -> Multiproof:
     _absorb_queries(t, queries)
     r = t.digest("r", True)
 
-    data_stack = jnp.stack([q.data.vals for q in queries])  # (M, N, L)
-    r_mont = df.to_mont(jnp.asarray(ints_to_limbs([r])), "fr")[0]
-    r_pows = df.powers_of_mont(r_mont, m, "fr")  # (M, L)
+    data_stack = jnp.stack([q.data.vals for q in queries])  # (M, L, N)
+    r_mont = df.to_mont(jnp.asarray(ints_to_limbs([r]).T), "fr")[:, 0]  # (L,)
+    r_pows = df.powers_of_mont(r_mont, m, "fr")  # (L, M)
+    r_pows = jnp.moveaxis(r_pows, -1, 0)[:, :, None]  # (M, L, 1)
     z_idx = jnp.asarray([q.z for q in queries], dtype=jnp.int32)
 
-    scaled, grouped = _scale_and_group(data_stack, r_pows, z_idx, jnp.zeros((n,)))
+    scaled, grouped = _scale_and_group(data_stack, r_pows, z_idx, n)
 
     g_vals = _all_quotients_sum(
         grouped, domain.d_invdiff, domain.d_vanishing, domain.d_vanishing_inv
@@ -140,7 +151,7 @@ def prove_multiproof(scheme, params, queries: list) -> Multiproof:
     # 1/(t - z) for integer z in 0..N (``utils.rs:57-62``)
     inversions = fr_batch_inverse([(t_chal - i) % R for i in range(n)])
     inv_per_query = [inversions[q.z] for q in queries]
-    inv_mont = df.to_mont(jnp.asarray(ints_to_limbs(inv_per_query)), "fr")
+    inv_mont = df.to_mont(jnp.asarray(ints_to_limbs(inv_per_query))[:, :, None], "fr")
 
     h_vals = _h_accumulate(scaled, inv_mont)
     h = FrVector(h_vals, n, domain)
@@ -183,9 +194,9 @@ def verify_multiproof(scheme, params, queries: list, proof: Multiproof) -> bool:
     commits = list(e_coeffs.keys())
     coeffs = [e_coeffs[c] for c in commits]
     pts = dc.host_points_to_affine(commits)
-    scalars = jnp.asarray(ints_to_limbs(coeffs))
-    e_dev = dmsm.msm_pippenger(pts, scalars, c=8, lanes=min(8, len(commits)))
-    e_commit = dc.projective_to_host_points(e_dev[None])[0]
+    scalars = jnp.asarray(ints_to_limbs(coeffs).T)
+    e_dev = dmsm.msm_auto(pts, scalars)
+    e_commit = dc.projective_to_host_points(e_dev)[0]
     t.append_point(e_commit, "E")
 
     return scheme.verify_point(

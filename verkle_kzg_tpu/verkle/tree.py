@@ -45,6 +45,8 @@ class ExtensionNode:
     stem: tuple
     commit: object = None
     leaves: dict = dataclasses.field(default_factory=dict)  # unit -> int value
+    c1_commit: object = None  # commitment to the low-half leaf vector
+    c2_commit: object = None  # commitment to the high-half leaf vector
 
 
 @dataclasses.dataclass
@@ -72,11 +74,22 @@ class VerkleTree:
     """``VerkleTree`` (``verkle-tree/src/lib.rs:87-138``), generic over the
     scheme namespace (schemes.IPA / schemes.KZG) and its params."""
 
-    def __init__(self, scheme, params, key_len: int, ext_width: int | None = None):
+    def __init__(
+        self,
+        scheme,
+        params,
+        key_len: int,
+        ext_width: int | None = None,
+        internal_width: int = INTERNAL_WIDTH,
+    ):
         self.scheme = scheme
         self.params = params
         self.key_len = key_len
         self.ext_width = ext_width if ext_width is not None else key_len
+        # width of internal-node vectors; the reference hardcodes 256
+        # (quirk 4, node.rs:263-264) — kept as the default, overridable for
+        # narrow test trees.
+        self.internal_width = internal_width
         self.root = InternalNode()
 
     # -- key machinery (lib.rs:30-73) ---------------------------------------
@@ -188,51 +201,185 @@ class VerkleTree:
                 self._collect_dirty(child, depth + 1, dirty_ext, dirty_internal)
 
     def _batched_commit(self, vectors):
-        """Commit a list of equal-width int vectors with ONE device call."""
-        width = len(vectors[0])
-        basis = self.scheme.basis_affine(self.params)[:width]
-        scalars = jnp.asarray(
-            ints_to_limbs([v % R for vec in vectors for v in vec])
-        ).reshape(len(vectors), width, -1)
-        out = dmsm.msm_fixed_base(basis, scalars, c=8, lanes=1)
-        return dc.projective_to_host_points(out)
+        """Commit a list of equal-width int vectors with ONE device call.
 
-    def _commit_extensions(self, nodes):
+        The batch is padded to a power of two (zero vectors commit to the
+        identity and are discarded) so the device program compiles once per
+        (width, pow2-batch) pair instead of once per node count."""
+        width = len(vectors[0])
+        b = len(vectors)
+        padded = 1 << (b - 1).bit_length() if b > 1 else 1
+        vectors = vectors + [[0] * width] * (padded - b)
+        basis = self.scheme.basis_affine(self.params)[..., :width]
+        flat = ints_to_limbs([v % R for vec in vectors for v in vec])
+        scalars = jnp.asarray(
+            flat.reshape(padded, width, -1).transpose(0, 2, 1)
+        )  # (B, L, width)
+        out = dmsm.msm_fixed_base(basis, scalars)  # (3, L, B)
+        return dc.projective_to_host_points(out)[:b]
+
+    # -- node vector layouts (shared by committing and proving) ---------------
+
+    def _ext_leaf_vectors(self, node: ExtensionNode):
+        """(c1, c2) int vectors per ``node.rs:226-241``."""
         w = self.ext_width
         half = w // 2
+        c1, c2 = [0] * w, [0] * w
+        for unit, value in node.leaves.items():
+            low, high = _split_value(value)
+            lo_idx, hi_idx = (2 * unit) % w, (2 * unit + 1) % w
+            target = c1 if unit < half else c2
+            target[lo_idx] = low
+            target[hi_idx] = high
+        return c1, c2
+
+    def _ext_data_vector(self, node: ExtensionNode):
+        """[1, stem, c1_item, c2_item] (``node.rs:246-253``); requires the
+        c1/c2 commitments to be populated."""
+        return [
+            1,
+            _stem_item(node.stem),
+            g1_to_data_item(node.c1_commit),
+            g1_to_data_item(node.c2_commit),
+        ]
+
+    def _internal_vector(self, node: InternalNode):
+        vec = [0] * self.internal_width
+        for unit, child in node.children.items():
+            assert child.commit is not None, "child committed before parent"
+            vec[unit] = g1_to_data_item(child.commit)
+        return vec
+
+    def _commit_extensions(self, nodes):
         c_vectors = []
         for n in nodes:
-            c1 = [0] * w
-            c2 = [0] * w
-            for unit, value in n.leaves.items():
-                low, high = _split_value(value)
-                lo_idx, hi_idx = (2 * unit) % w, (2 * unit + 1) % w
-                target = c1 if unit < half else c2
-                target[lo_idx] = low
-                target[hi_idx] = high
+            c1, c2 = self._ext_leaf_vectors(n)
             c_vectors.append(c1)
             c_vectors.append(c2)
 
         c_points = self._batched_commit(c_vectors)
-
-        ext_vectors = []
         for i, n in enumerate(nodes):
-            c1_pt, c2_pt = c_points[2 * i], c_points[2 * i + 1]
-            ext_vectors.append(
-                [1, _stem_item(n.stem), g1_to_data_item(c1_pt), g1_to_data_item(c2_pt)]
-            )
-        ext_points = self._batched_commit(ext_vectors)
+            n.c1_commit, n.c2_commit = c_points[2 * i], c_points[2 * i + 1]
+
+        ext_points = self._batched_commit([self._ext_data_vector(n) for n in nodes])
         for n, pt in zip(nodes, ext_points):
             n.commit = pt
 
     def _commit_internals(self, nodes):
-        vectors = []
-        for n in nodes:
-            vec = [0] * INTERNAL_WIDTH
-            for unit, child in n.children.items():
-                assert child.commit is not None, "child committed before parent"
-                vec[unit] = g1_to_data_item(child.commit)
-            vectors.append(vec)
-        points = self._batched_commit(vectors)
+        points = self._batched_commit([self._internal_vector(n) for n in nodes])
         for n, pt in zip(nodes, points):
             n.commit = pt
+
+    # -- proving (greenfield: the reference's proving impl block is EMPTY,
+    #    ``verkle-tree/src/lib.rs:141-152``; this follows the Ethereum verkle
+    #    proof shape — one multiproof over every (commitment, index, value)
+    #    opening along the union of key paths) --------------------------------
+
+    def _canonical_queries(self, keys, values=None):
+        """Walk ``keys`` (sorted) and produce the deduped opening list.
+
+        ``values`` (optional dict key -> 256-bit int) overrides the tree's
+        stored leaf values when deriving the leaf-opening y's — the verifier
+        passes the CLAIMED values so a mismatch surfaces as a query-structure
+        mismatch. Returns a list of (commit, z, y, vector) tuples.
+        """
+        half = self.ext_width // 2
+        queries = []
+        seen = set()
+
+        def add(commit, z, y, vec, dedup_key):
+            if dedup_key in seen:
+                return
+            seen.add(dedup_key)
+            queries.append((commit, z, y, vec))
+
+        for key in sorted(keys):
+            stem, unit = self._split_key(key)
+            path = []
+            n = self.root
+            depth = 0
+            while isinstance(n, InternalNode):
+                child = n.children.get(stem[depth])
+                if child is None:
+                    raise KeyError(f"key {key} not in tree (absence proofs TBD)")
+                path.append((n, depth, stem[depth], child))
+                n = child
+                depth += 1
+            ext = n
+            if ext.stem != stem or unit not in ext.leaves:
+                raise KeyError(f"key {key} not in tree (absence proofs TBD)")
+
+            for parent, d, z, child in path:
+                add(
+                    parent.commit,
+                    z,
+                    g1_to_data_item(child.commit),
+                    self._internal_vector(parent),
+                    (id(parent), z),
+                )
+            # extension-level openings: well-formedness + stem binding
+            ext_vec = self._ext_data_vector(ext)
+            add(ext.commit, 0, 1, ext_vec, (id(ext), 0))
+            add(ext.commit, 1, _stem_item(stem), ext_vec, (id(ext), 1))
+            # leaf openings inside c1 or c2
+            leaf_value = (
+                values[key] if values is not None else ext.leaves[unit]
+            )
+            low, high = _split_value(leaf_value)
+            in_c1 = unit < half
+            c_commit = ext.c1_commit if in_c1 else ext.c2_commit
+            c_vec = self._ext_leaf_vectors(ext)[0 if in_c1 else 1]
+            add(
+                ext.commit,
+                2 if in_c1 else 3,
+                g1_to_data_item(c_commit),
+                ext_vec,
+                (id(ext), 2 if in_c1 else 3),
+            )
+            lo_idx, hi_idx = (2 * unit) % self.ext_width, (2 * unit + 1) % self.ext_width
+            add(c_commit, lo_idx, low, c_vec, (id(ext), "c", in_c1, lo_idx))
+            add(c_commit, hi_idx, high, c_vec, (id(ext), "c", in_c1, hi_idx))
+
+        return queries
+
+    def prove_keys(self, keys):
+        """One multiproof covering every opening along the given keys' paths.
+
+        Returns (Multiproof, verifier_queries). The verifier re-derives the
+        expected (z, y) structure from the keys/values and the commitments
+        carried in ``verifier_queries`` — parent/child linkage is enforced
+        because each parent opening's y is the data-item hash of the child's
+        commitment.
+        """
+        from ..poly import FrVector
+        from ..schemes.multiproof import ProverQuery, prove_multiproof
+
+        self.commitment()  # ensure caches are fresh
+        raw = self._canonical_queries(keys, None)
+        pqueries = [
+            ProverQuery(
+                data=FrVector.from_ints(vec, self.params.domain),
+                commit=commit,
+                z=z,
+                y=y,
+            )
+            for (commit, z, y, vec) in raw
+        ]
+        proof = prove_multiproof(self.scheme, self.params, pqueries)
+        return proof, [q.to_verifier_query() for q in pqueries]
+
+    def verify_keys(self, keys, values, proof, verifier_queries) -> bool:
+        """Check the multiproof AND that the queries actually bind the given
+        key->value pairs to this tree's root commitment."""
+        from ..schemes.multiproof import verify_multiproof
+
+        root_commit = self.root.commit
+        expected = self._canonical_queries(keys, values)
+        if len(expected) != len(verifier_queries):
+            return False
+        for (commit, z, y, _vec), q in zip(expected, verifier_queries):
+            if q.commit != commit or q.z != z or q.y != y:
+                return False
+        if expected and expected[0][0] != root_commit:
+            return False
+        return verify_multiproof(self.scheme, self.params, verifier_queries, proof)
