@@ -99,10 +99,11 @@ def bench_verkle():
     leaves = int(os.environ.get("BENCH_VERKLE_LEAVES", "10000"))
     crs = kzg_setup(256)
     t = VerkleTree(KZG, crs, key_len=3, ext_width=256)
-    keys = set()
-    while len(keys) < leaves:
-        keys.add((rng.randrange(256), rng.randrange(256), rng.randrange(256)))
-    keys = sorted(keys)
+    # Distinct (unit0, unit1) pairs: the reference's trie layout is only
+    # self-consistent when sibling stems diverge one level below their
+    # parent (SURVEY.md §5 / tree.py docstring), so enumerate a grid.
+    assert leaves <= 256 * 256
+    keys = [(i // 256, i % 256, (i * 7) % 256) for i in range(leaves)]
     t0 = time.perf_counter()
     for k in keys:
         t.insert_single(k, rng.randrange(1 << 256))

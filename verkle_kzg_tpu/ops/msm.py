@@ -230,6 +230,13 @@ def _auto_c(n: int, c: int | None) -> int:
     return c if c is not None else min(8, max(2, n.bit_length() - 1))
 
 
+def _auto_c_batched(n: int, c: int | None) -> int:
+    """Window width for the lane-batched path: the bucket suffix scans cost
+    W * 2^c point-adds PER MSM (they don't amortize over a big N like the
+    single-MSM path), so the optimum is near sqrt: c ~ log2(N)/2 + 1."""
+    return c if c is not None else min(6, max(2, (n.bit_length() - 1) // 2 + 1))
+
+
 def msm_batched(
     points_affine: jnp.ndarray,
     scalars: jnp.ndarray,
@@ -243,7 +250,7 @@ def msm_batched(
     bsz, _, _, n = points_affine.shape
     if n < 64:
         return _batched_naive(C.from_affine(points_affine), scalars)
-    c = _auto_c(n, c)
+    c = _auto_c_batched(n, c)
     pts_stream = jnp.moveaxis(points_affine, (0, 3), (3, 0))  # (N, 2, L, B)
     digits = window_digits(scalars, c)  # (W, B, N)
     digits = jnp.moveaxis(digits, -1, 1)  # (W, N, B)
@@ -265,7 +272,7 @@ def msm_fixed_base(
             C.from_affine(points_affine)[None], (b, 3, L, n)
         )
         return _batched_naive(pts, scalars)
-    c = _auto_c(n, c)
+    c = _auto_c_batched(n, c)
     pts_stream = jnp.broadcast_to(
         jnp.moveaxis(points_affine, -1, 0)[..., None], (n, 2, L, b)
     )

@@ -154,3 +154,33 @@ class FrVector:
     def inner_product_ints(self, other_ints: list) -> int:
         vals = self.to_ints()
         return sum(v * o % R for v, o in zip(vals, other_ints)) % R
+
+    # -- VCData parity surface (``vector-commit/src/lib.rs:37-49``) ----------
+
+    def set_evaluation(self, index: int, value: int) -> "FrVector":
+        """Functional set (arrays are immutable): returns the updated vector."""
+        col = _int_to_mont_col(value)
+        return FrVector(
+            self.vals.at[:, index].set(col[:, 0]), self.max, self.domain
+        )
+
+    def get_all(self) -> list:
+        """All (index, value) pairs (``lib.rs:46``)."""
+        return list(enumerate(self.to_ints()))
+
+    @staticmethod
+    def bytes_to_item(raw: bytes) -> int:
+        """Fr::from_le_bytes_mod_order (``lagrange_basis.rs:175-178``)."""
+        from ..hostmath.serialize import fr_from_le_bytes_mod_order
+
+        return fr_from_le_bytes_mod_order(raw)
+
+    def interpolate(self) -> list:
+        """Coefficient form via the device INTT (``lagrange_basis.rs:146-148``;
+        'rarely would we want coefficient form' — FK does)."""
+        from ..ops import ntt as dntt
+        from ..ops.limbs import limbs_to_ints
+        import numpy as np
+
+        coeffs = dntt.intt_fr(self.vals)
+        return limbs_to_ints(np.asarray(df.from_mont(coeffs, "fr")).T)

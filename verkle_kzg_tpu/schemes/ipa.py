@@ -165,6 +165,22 @@ class IPA:
         b = params.domain.barycentric_coefficients(point)
         return _low_level_verify_ipa(params, b, commitment, point, proof, transcript)
 
+    # -- batch proofs: unimplemented in the reference (todo!() at
+    #    ``ipa/mod.rs:156-163`` and ``:183-189``); the batching story here is
+    #    the multiproof protocol (schemes/multiproof.py) -----------------------
+
+    @staticmethod
+    def prove_batch(params, commitment, indexes, data):
+        raise NotImplementedError(
+            "prove_batch is todo!() in the reference; use prove_multiproof"
+        )
+
+    @staticmethod
+    def verify_batch(params, commitment, proof):
+        raise NotImplementedError(
+            "verify_batch is todo!() in the reference; use verify_multiproof"
+        )
+
     # -- commitment well-formedness proofs (``ipa/mod.rs:199-265``) ----------
 
     @staticmethod

@@ -141,6 +141,20 @@ class KZG:
         return pairing(proof.proof, lhs_g2) == pairing(rhs_g1, h)
 
     @staticmethod
+    def prove_batch(params, commitment, indexes, data):
+        """todo!() in the reference (``kzg/mod.rs:156-163``); use
+        prove_multiproof or prove_all_points."""
+        raise NotImplementedError(
+            "prove_batch is todo!() in the reference; use prove_multiproof"
+        )
+
+    @staticmethod
+    def verify_batch(params, commitment, proof):
+        raise NotImplementedError(
+            "verify_batch is todo!() in the reference; use verify_multiproof"
+        )
+
+    @staticmethod
     def prove_all_points(params: KZGParams, data: FrVector) -> list:
         """Feist-Khovratovich amortized all-points prover
         (``kzg/mod.rs:200-235``): implemented over the device NTT stack."""

@@ -200,23 +200,32 @@ class VerkleTree:
             for child in node.children.values():
                 self._collect_dirty(child, depth + 1, dirty_ext, dirty_internal)
 
-    def _batched_commit(self, vectors):
-        """Commit a list of equal-width int vectors with ONE device call.
+    # Max MSMs per fused device call: bounds the bucket-state HBM footprint
+    # ((W x 2^c x 3 x L x CHUNK) words) while keeping the lanes packed.
+    COMMIT_CHUNK = 2048
 
-        The batch is padded to a power of two (zero vectors commit to the
+    def _batched_commit(self, vectors):
+        """Commit a list of equal-width int vectors with a few fused device
+        calls (one per COMMIT_CHUNK).
+
+        Chunks are padded to a power of two (zero vectors commit to the
         identity and are discarded) so the device program compiles once per
         (width, pow2-batch) pair instead of once per node count."""
         width = len(vectors[0])
-        b = len(vectors)
-        padded = 1 << (b - 1).bit_length() if b > 1 else 1
-        vectors = vectors + [[0] * width] * (padded - b)
         basis = self.scheme.basis_affine(self.params)[..., :width]
-        flat = ints_to_limbs([v % R for vec in vectors for v in vec])
-        scalars = jnp.asarray(
-            flat.reshape(padded, width, -1).transpose(0, 2, 1)
-        )  # (B, L, width)
-        out = dmsm.msm_fixed_base(basis, scalars)  # (3, L, B)
-        return dc.projective_to_host_points(out)[:b]
+        out = []
+        for start in range(0, len(vectors), self.COMMIT_CHUNK):
+            chunk = vectors[start : start + self.COMMIT_CHUNK]
+            b = len(chunk)
+            padded = 1 << (b - 1).bit_length() if b > 1 else 1
+            chunk = chunk + [[0] * width] * (padded - b)
+            flat = ints_to_limbs([v % R for vec in chunk for v in vec])
+            scalars = jnp.asarray(
+                flat.reshape(padded, width, -1).transpose(0, 2, 1)
+            )  # (B, L, width)
+            pts = dmsm.msm_fixed_base(basis, scalars)  # (3, L, B)
+            out.extend(dc.projective_to_host_points(pts)[:b])
+        return out
 
     # -- node vector layouts (shared by committing and proving) ---------------
 
