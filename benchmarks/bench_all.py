@@ -9,6 +9,10 @@ transfer at the end of each timed program (see bench.py).
 """
 
 import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import os
 import random
 import time

@@ -1,0 +1,60 @@
+"""Distributed components on the 8-device virtual CPU mesh: sharded MSM and
+the four-step distributed NTT (bit-exact vs their single-device versions)."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from verkle_kzg_tpu.hostmath import curve as hc
+from verkle_kzg_tpu.ops import curve as dc
+from verkle_kzg_tpu.ops import field as df
+from verkle_kzg_tpu.ops import ntt as dntt
+from verkle_kzg_tpu.ops.limbs import ints_to_limbs, limbs_to_ints
+from verkle_kzg_tpu.parallel import make_mesh, msm_sharded
+from verkle_kzg_tpu.parallel.ntt import intt_fr_sharded, ntt_fr_sharded
+from verkle_kzg_tpu.params import R
+
+rng = random.Random(0xD157)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh"
+)
+
+
+def test_msm_sharded_bit_exact():
+    mesh = make_mesh(8)
+    n = 24
+    g = hc.g1_generator()
+    pts_host = [hc.g1_mul(g, rng.randrange(1, R)) for _ in range(n)]
+    ks = [rng.randrange(R) for _ in range(n)]
+    pts = dc.host_points_to_affine(pts_host)
+    scs = jnp.asarray(ints_to_limbs(ks).T)
+    out = msm_sharded(pts, scs, mesh, c=4, lanes=1)
+    assert dc.projective_to_host_points(out)[0] == hc.g1_msm_naive(pts_host, ks)
+
+
+def test_four_step_ntt_single_device():
+    n = 64
+    coeffs = [rng.randrange(R) for _ in range(n)]
+    x = df.to_mont(jnp.asarray(ints_to_limbs(coeffs).T), "fr")
+    ref = dntt.ntt_fr(x)
+    got = ntt_fr_sharded(x, mesh=None, n1=8)
+    assert bool(jnp.all(got == ref))
+
+
+def test_four_step_ntt_sharded_roundtrip():
+    mesh = make_mesh(8)
+    n = 64
+    coeffs = [rng.randrange(R) for _ in range(n)]
+    x = df.to_mont(jnp.asarray(ints_to_limbs(coeffs).T), "fr")
+
+    evals = ntt_fr_sharded(x, mesh=mesh, n1=8)
+    ref = dntt.ntt_fr(x)
+    assert bool(jnp.all(jnp.asarray(evals) == ref))
+
+    back = intt_fr_sharded(jnp.asarray(evals), mesh=mesh, n1=8)
+    got = limbs_to_ints(np.asarray(df.from_mont(jnp.asarray(back), "fr")).T)
+    assert got == coeffs

@@ -81,6 +81,44 @@ def _msm_proj(points_proj: jnp.ndarray, scalars_mont: jnp.ndarray):
     return dc.projective_to_host_points(out)[0]
 
 
+@jax.jit
+def _ipa_round(g, a, b, q_proj):
+    """One fused halving-round: computes BOTH cross terms
+    y_l = <g_r, a_l> + q*<a_l, b_r>, y_r = <g_l, a_r> + q*<a_r, b_l>
+    entirely on device; returns them as a (2, 2, L, 1)-ish affine pair so
+    the host only serializes two points into the transcript. This keeps the
+    per-round host<->device round-trips at two (the Fiat-Shamir digest is
+    inherently a host sync point)."""
+    n = a.shape[-1]
+    half = n // 2
+    a_l, a_r = a[:, :half], a[:, half:]
+    g_l, g_r = g[..., :half], g[..., half:]
+    b_l, b_r = b[:, :half], b[:, half:]
+
+    ip_l = df.from_mont(_inner_mont(a_l, b_r), "fr")  # (L, 1) standard
+    ip_r = df.from_mont(_inner_mont(a_r, b_l), "fr")
+    y_l = dc.add(
+        dmsm.msm_auto(dc.to_affine(g_r), df.from_mont(a_l, "fr")),
+        dc.scalar_mul(q_proj, ip_l),
+    )
+    y_r = dc.add(
+        dmsm.msm_auto(dc.to_affine(g_l), df.from_mont(a_r, "fr")),
+        dc.scalar_mul(q_proj, ip_r),
+    )
+    return dc.to_affine(jnp.concatenate([y_l, y_r], axis=-1))  # (2, L, 2)
+
+
+@jax.jit
+def _ipa_fold(g, a, b, x_mont, x_std):
+    """Fused fold of all three vectors by the round challenge."""
+    n = a.shape[-1]
+    half = n // 2
+    a2 = _fold_field(a[:, :half], a[:, half:], x_mont)
+    g2 = _fold_points(g[..., half:], g[..., :half], x_std)
+    b2 = _fold_field(b[:, half:], b[:, :half], x_mont)
+    return g2, a2, b2
+
+
 @dataclasses.dataclass
 class IPAParams:
     """IPAUniversalParams (``ipa/mod.rs:22-68``): N basis points g, the
@@ -259,32 +297,23 @@ def _low_level_ipa(
     ra = t.digest("w", True)
 
     q = g1_mul(params.q_host, ra)  # q <- w*q
+    q_proj = dc.host_point_to_projective(q)
     g = params.g_proj
     l_pts, r_pts = [], []
 
     n_cur = n
     while n_cur > 1:
-        half = n_cur // 2
-        a_l, a_r = a[:, :half], a[:, half:]
-        g_l, g_r = g[..., :half], g[..., half:]
-        b_l, b_r = b[:, :half], b[:, half:]
-
-        ip_l = _mont_to_int(_inner_mont(a_l, b_r))
-        ip_r = _mont_to_int(_inner_mont(a_r, b_l))
-        y_l = g1_add(_msm_proj(g_r, a_l), g1_mul(q, ip_l))
-        y_r = g1_add(_msm_proj(g_l, a_r), g1_mul(q, ip_r))
+        pair = dc.affine_to_host_points(_ipa_round(g, a, b, q_proj))
+        y_l, y_r = pair[0], pair[1]
 
         l_pts.append(y_l)
         r_pts.append(y_r)
         t.append_point(y_l, "L")
         t.append_point(y_r, "R")
         ra = t.digest("x", True)
-        x_mont = _int_to_mont(ra)
 
-        a = _fold_field(a_l, a_r, x_mont)
-        g = _fold_points(g_r, g_l, _int_to_std(ra))
-        b = _fold_field(b_r, b_l, x_mont)
-        n_cur = half
+        g, a, b = _ipa_fold(g, a, b, _int_to_mont(ra), _int_to_std(ra))
+        n_cur //= 2
 
     return IPAProof(l=l_pts, r=r_pts, tip=_mont_to_int(a), y=eval_)
 
