@@ -139,14 +139,22 @@ def bench_msm_sweep():
     c = int(os.environ.get("BENCH_WINDOW_C", "8"))
     nrng = np.random.default_rng(7)
 
+    gen_chunk = 1 << int(os.environ.get("BENCH_GEN_CHUNK_LOG2", "17"))
     for logn in range(lo, hi + 1):
         n = 1 << logn
         base = [(int(x) % (R - 1)) + 1 for x in nrng.integers(1, 1 << 62, n)]
+        # generate points in chunks: one giant scalar-mul dispatch can trip
+        # the TPU tunnel's RPC deadline and crash the worker
+        step = min(n, gen_chunk)
         g_dev = jnp.broadcast_to(
-            dc.host_point_to_projective(hc.g1_generator()), (3, 16, n)
+            dc.host_point_to_projective(hc.g1_generator()), (3, 16, step)
         )
-        pts = dc.to_affine(jax.jit(dc.scalar_mul)(g_dev, jnp.asarray(ints_to_limbs(base).T)))
-        np.asarray(pts)
+        gen = jax.jit(dc.scalar_mul)
+        chunks = []
+        for s in range(0, n, step):
+            part = dc.to_affine(gen(g_dev, jnp.asarray(ints_to_limbs(base[s : s + step]).T)))
+            chunks.append(np.asarray(part))
+        pts = jnp.asarray(np.concatenate(chunks, axis=-1))
         scal = jnp.asarray(
             ints_to_limbs([int(x) % R for x in nrng.integers(0, 1 << 63, n)]).T
         )
