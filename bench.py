@@ -16,8 +16,8 @@ overhead is ~50-100 ms and whose block_until_ready can return early, so we
 time K chained MSMs against 1 MSM (distinct inputs per link so XLA cannot
 CSE) and report the difference — pure device compute, no fixed overhead.
 
-Environment knobs: BENCH_LOG2N (default 16), BENCH_WINDOW_C (default 8),
-BENCH_LANES (default 256), BENCH_CHAIN (default 4), BENCH_CHECK=1 to
+Environment knobs: BENCH_LOG2N (default 20), BENCH_WINDOW_C (default 8),
+BENCH_LANES (default 128), BENCH_CHAIN (default 4), BENCH_CHECK=1 to
 bit-verify the result against the native C++ oracle first.
 """
 
@@ -44,20 +44,25 @@ def main():
     from verkle_kzg_tpu.ops.limbs import ints_to_limbs
     from verkle_kzg_tpu.params import R
 
-    log2n = int(os.environ.get("BENCH_LOG2N", "16"))
+    log2n = int(os.environ.get("BENCH_LOG2N", "20"))
     c = int(os.environ.get("BENCH_WINDOW_C", "8"))
-    lanes = int(os.environ.get("BENCH_LANES", "256"))
+    lanes = int(os.environ.get("BENCH_LANES", "128"))
     chain = int(os.environ.get("BENCH_CHAIN", "4"))
     n = 1 << log2n
 
-    # N distinct points via one batched scalar-mul sweep from the generator.
+    # N distinct points via batched scalar-mul sweeps from the generator,
+    # chunked: one giant dispatch can trip the TPU tunnel's RPC deadline.
     rng = np.random.default_rng(0xBEEF)
     g = hc.g1_generator()
     base_scalars = [(int(x) % (R - 1)) + 1 for x in rng.integers(1, 1 << 62, n)]
-    g_dev = jnp.broadcast_to(dc.host_point_to_projective(g), (3, 16, n))
-    pts_proj = jax.jit(dc.scalar_mul)(g_dev, jnp.asarray(ints_to_limbs(base_scalars).T))
-    pts = dc.to_affine(pts_proj)
-    np.asarray(pts)  # force
+    step = min(n, 1 << 17)
+    g_dev = jnp.broadcast_to(dc.host_point_to_projective(g), (3, 16, step))
+    gen = jax.jit(dc.scalar_mul)
+    chunks = []
+    for s in range(0, n, step):
+        part = dc.to_affine(gen(g_dev, jnp.asarray(ints_to_limbs(base_scalars[s : s + step]).T)))
+        chunks.append(np.asarray(part))
+    pts = jnp.asarray(np.concatenate(chunks, axis=-1))
 
     msm_scalars = jnp.asarray(
         ints_to_limbs([int(x) % R for x in rng.integers(0, 1 << 63, n)]).T
