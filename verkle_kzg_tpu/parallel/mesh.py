@@ -43,7 +43,7 @@ def msm_sharded(
     scalars: jnp.ndarray,
     mesh: Mesh,
     c: int = 8,
-    lanes: int = 8,
+    lanes: int = 128,
 ) -> jnp.ndarray:
     """One big MSM sharded over the mesh -> replicated (3, L) result."""
     axis = mesh.axis_names[0]
