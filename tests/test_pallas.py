@@ -1,0 +1,118 @@
+"""Pallas kernel correctness: the exact Mosaic kernel logic runs in
+interpret mode on CPU and must be bit-identical to the XLA-traced paths
+(ops/field.py, ops/curve.py, ops/msm.py's bucket loop).
+
+On TPU these kernels are the production MSM fast path (ops/pallas_msm.py);
+bench.py additionally verifies the compiled kernels against the native C++
+oracle at scale.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from verkle_kzg_tpu.hostmath import curve as hc
+from verkle_kzg_tpu.ops import curve as C
+from verkle_kzg_tpu.ops import field as F
+from verkle_kzg_tpu.ops import msm
+from verkle_kzg_tpu.ops import pallas_curve as PC
+from verkle_kzg_tpu.ops import pallas_field as PF
+from verkle_kzg_tpu.ops import pallas_msm as PM
+from verkle_kzg_tpu.ops.limbs import ints_to_limbs
+from verkle_kzg_tpu.params import FQ, FR, R
+
+L = 16
+
+
+def _field_batch(fs, n, seed):
+    rng = random.Random(seed)
+    xs = [rng.getrandbits(256) % fs.modulus for _ in range(n)]
+    # adversarial carry values on the first lanes
+    xs[:4] = [0, 1, fs.modulus - 1, int("ffff" * 15, 16) % fs.modulus]
+    return xs, jnp.asarray(ints_to_limbs(xs).T)
+
+
+@pytest.mark.parametrize("spec,fs", [("fq", FQ), ("fr", FR)])
+def test_pallas_field_matches_xla(spec, fs):
+    _, a = _field_batch(fs, 40, 101)
+    _, b = _field_batch(fs, 40, 202)
+    assert jnp.all(PF.mont_mul(a, b, spec, interpret=True) == F.mont_mul(a, b, spec))
+    assert jnp.all(PF.add(a, b, spec, interpret=True) == F.add(a, b, spec))
+    assert jnp.all(PF.sub(a, b, spec, interpret=True) == F.sub(a, b, spec))
+    assert jnp.all(PF.sub(b, a, spec, interpret=True) == F.sub(b, a, spec))
+
+
+def _point_batch(n, seed, with_inf=True):
+    rng = random.Random(seed)
+    pts = [hc.g1_mul(hc.g1_generator(), rng.getrandbits(160)) for _ in range(n)]
+    if with_inf:
+        pts[1] = None
+        pts[-1] = None
+    return pts, C.host_points_to_affine(pts)
+
+
+def test_pallas_curve_matches_xla():
+    _, aff1 = _point_batch(24, 7)
+    _, aff2 = _point_batch(24, 8)
+    p1, p2 = C.from_affine(aff1), C.from_affine(aff2)
+    assert jnp.all(PC.add(p1, p2, interpret=True) == C.add(p1, p2))
+    assert jnp.all(PC.double(p1, interpret=True) == C.double(p1))
+    assert jnp.all(PC.mixed_add(p1, aff2, interpret=True) == C.mixed_add(p1, aff2))
+    # doubling through add (p + p) and identity cases ride the same kernel
+    assert jnp.all(PC.add(p1, p1, interpret=True) == C.add(p1, p1))
+    # leading batch dims
+    pw = jnp.stack([p1, p2], axis=0)
+    aw = jnp.stack([aff2, aff1], axis=0)
+    assert jnp.all(PC.mixed_add(pw, aw, interpret=True) == C.mixed_add(pw, aw))
+
+
+def test_bucket_accumulate_matches_xla_loop():
+    rng = random.Random(33)
+    n, lanes, c = 48, 8, 4
+    w = -(-256 // c)
+    pts_host, aff = _point_batch(n, 9)
+    scal_ints = [rng.getrandbits(254) % R for _ in range(n)]
+    scal_ints[0] = 0
+    scal = jnp.asarray(ints_to_limbs(scal_ints).T)
+
+    steps = n // lanes
+    digits = msm.window_digits(scal, c).reshape(w, steps, lanes).astype(jnp.int32)
+    pts = aff.reshape(2, L, steps, lanes)
+
+    buckets0 = C.infinity((w, 1 << c), lanes)
+
+    def step(s, buckets):
+        d = digits[:, s, :]
+        cur = msm._gather_buckets(buckets, d)
+        p = jnp.broadcast_to(pts[:, :, s, :][None], (w, 2, L, lanes))
+        new = C.mixed_add(cur, p)
+        return msm._scatter_buckets(buckets, d, new)
+
+    want = jax.lax.fori_loop(0, steps, step, buckets0)
+    got = PM.bucket_accumulate(
+        jnp.moveaxis(pts, 2, 0), digits, c, chunk=4, interpret=True
+    )
+    assert jnp.all(got == want)
+
+
+def test_msm_pippenger_pallas_vs_host_oracle(monkeypatch):
+    monkeypatch.setattr(msm, "_pallas_mode", lambda: "interpret")
+    rng = random.Random(44)
+    n = 48
+    pts_host, aff = _point_batch(n, 10)
+    scal_ints = [rng.getrandbits(254) % R for _ in range(n)]
+    scal = jnp.asarray(ints_to_limbs(scal_ints).T)
+
+    out = msm.msm_pippenger(aff, scal, c=4, lanes=8)
+    got = C.projective_to_host_points(out)[0]
+
+    want = None
+    for pt, s in zip(pts_host, scal_ints):
+        if pt is None:
+            continue
+        t = hc.g1_mul(pt, s)
+        want = t if want is None else hc.g1_add(want, t)
+    assert got == want

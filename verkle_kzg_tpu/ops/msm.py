@@ -29,9 +29,37 @@ import numpy as np
 from ..params import LIMB_BITS, NLIMBS
 from . import curve as C
 from . import field as F
+from . import pallas_curve as PC
+from . import pallas_msm as PM
 
 L = NLIMBS
 TOTAL_BITS = LIMB_BITS * L  # 256
+
+# Pallas dispatch for the bucket-accumulation inner loop: on TPU the fused
+# Mosaic mixed-add (one kernel per step instead of ~200 scan-round
+# dispatches) is the round-2 perf fix for the memory-bound XLA pipeline
+# (BASELINE.md round-1 note). VKZG_PALLAS=0 forces the XLA path; =1 forces
+# pallas even off-TPU (interpret mode — slow, test-only).
+import os as _os
+
+_PALLAS_ENV = _os.environ.get("VKZG_PALLAS", "auto")
+
+
+def _pallas_mode() -> str:
+    """'off' | 'compiled' | 'interpret' (resolved at trace time)."""
+    if _PALLAS_ENV == "0":
+        return "off"
+    on_tpu = jax.default_backend() == "tpu"
+    if _PALLAS_ENV == "1":
+        return "compiled" if on_tpu else "interpret"
+    return "compiled" if on_tpu else "off"
+
+
+def _mixed_add(p, q_affine):
+    mode = _pallas_mode()
+    if mode == "off":
+        return C.mixed_add(p, q_affine)
+    return PC.mixed_add(p, q_affine, interpret=(mode == "interpret"))
 
 
 def fold_reduce_lanes(p: jnp.ndarray) -> jnp.ndarray:
@@ -161,17 +189,24 @@ def msm_pippenger(
     digits = digits.reshape(w, steps, lanes).astype(jnp.int32)
     pts = points_affine.reshape(2, L, steps, lanes)
 
-    buckets0 = C.infinity((w, nbuckets), lanes)  # (W, 2^c, 3, L, lanes)
+    mode = _pallas_mode()
+    if mode != "off":
+        # One fused kernel: bucket tables VMEM-resident, points streamed.
+        buckets = PM.bucket_accumulate(
+            jnp.moveaxis(pts, 2, 0), digits, c, interpret=(mode == "interpret")
+        )
+    else:
+        buckets0 = C.infinity((w, nbuckets), lanes)  # (W, 2^c, 3, L, lanes)
 
-    def step(s, buckets):
-        d = digits[:, s, :]  # (W, lanes)
-        cur = _gather_buckets(buckets, d)  # (W, 3, L, lanes)
-        p = jnp.broadcast_to(pts[:, :, s, :][None], (w, 2, L, lanes))
-        new = C.mixed_add(cur, p)
-        # bucket 0 collects zero digits + padding; it is excluded below
-        return _scatter_buckets(buckets, d, new)
+        def step(s, buckets):
+            d = digits[:, s, :]  # (W, lanes)
+            cur = _gather_buckets(buckets, d)  # (W, 3, L, lanes)
+            p = jnp.broadcast_to(pts[:, :, s, :][None], (w, 2, L, lanes))
+            new = _mixed_add(cur, p)
+            # bucket 0 collects zero digits + padding; it is excluded below
+            return _scatter_buckets(buckets, d, new)
 
-    buckets = jax.lax.fori_loop(0, steps, step, buckets0)
+        buckets = jax.lax.fori_loop(0, steps, step, buckets0)
 
     # Merge lanes, drop bucket 0, then weighted sum sum_b b*B_b as the sum
     # of suffix sums = element 1 of a double suffix scan.
@@ -196,16 +231,23 @@ def _msm_lanewise(pts_stream, digits, nbuckets: int, c: int) -> jnp.ndarray:
     so there is no lane merge — a lane IS an independent MSM.
     Returns (3, L, B)."""
     w, n, b = digits.shape
-    buckets0 = C.infinity((w, nbuckets), b)  # (W, 2^c, 3, L, B)
+    mode = _pallas_mode()
+    if mode != "off":
+        buckets = PM.bucket_accumulate(
+            pts_stream, digits.astype(jnp.int32), c,
+            interpret=(mode == "interpret"),
+        )
+    else:
+        buckets0 = C.infinity((w, nbuckets), b)  # (W, 2^c, 3, L, B)
 
-    def step(s, buckets):
-        d = digits[:, s, :].astype(jnp.int32)  # (W, B)
-        cur = _gather_buckets(buckets, d)  # (W, 3, L, B)
-        p = jnp.broadcast_to(pts_stream[s][None], (w, 2, L, b))
-        new = C.mixed_add(cur, p)
-        return _scatter_buckets(buckets, d, new)
+        def step(s, buckets):
+            d = digits[:, s, :].astype(jnp.int32)  # (W, B)
+            cur = _gather_buckets(buckets, d)  # (W, 3, L, B)
+            p = jnp.broadcast_to(pts_stream[s][None], (w, 2, L, b))
+            new = _mixed_add(cur, p)
+            return _scatter_buckets(buckets, d, new)
 
-    buckets = jax.lax.fori_loop(0, n, step, buckets0)
+        buckets = jax.lax.fori_loop(0, n, step, buckets0)
 
     body = buckets[:, 1:]  # drop bucket 0
     s1 = suffix_scan_points(body, axis=1)

@@ -256,25 +256,34 @@ class IPA:
     def verify_commitment_proof(
         params: IPAParams, commitment, proof: IPACommitProof
     ) -> bool:
+        """``ipa/mod.rs:238-265``, fused like _low_level_verify_ipa: one
+        device MSM over {g_i, C, L_i, R_i} vs the identity."""
         n = 1 << len(proof.l)
         t = Transcript(IPA.transcript_label)
         t.append_point(commitment, "C")
-        ra = t.digest("x", True)
+        t.digest("x", True)
 
-        c = commitment
-        coeffs = [1]
+        xs = []
         for li, ri in zip(proof.l, proof.r):
             t.append_point(li, "L")
             t.append_point(ri, "R")
-            ra = t.digest("x", True)
-            c = g1_add(li, g1_add(g1_mul(c, ra), g1_mul(ri, ra * ra % R)))
-            coeffs = [v for x in coeffs for v in (x * ra % R, x)]
+            xs.append(t.digest("x", True))
 
-        combined = _msm_proj(
-            params.g_proj[..., :n],
-            df.to_mont(jnp.asarray(ints_to_limbs(coeffs).T), "fr"),
+        coeffs = [1]
+        for x in xs:
+            coeffs = [v for x_ in coeffs for v in (x_ * x % R, x_)]
+
+        prod_all, cl, cr = _round_chain_coeffs(xs)
+        g_sc = [proof.tip * ci % R for ci in coeffs]
+        extra_sc = [(-prod_all) % R]
+        extra_sc += [(-x) % R for x in cl] + [(-x) % R for x in cr]
+        extra_pts = [commitment] + list(proof.l) + list(proof.r)
+
+        pts = jnp.concatenate(
+            [params.g_affine[..., :n], dc.host_points_to_affine(extra_pts)],
+            axis=-1,
         )
-        return g1_mul(combined, proof.tip) == c
+        return _msm_is_zero(pts, g_sc + extra_sc)
 
 
 def _low_level_ipa(
@@ -318,6 +327,26 @@ def _low_level_ipa(
     return IPAProof(l=l_pts, r=r_pts, tip=_mont_to_int(a), y=eval_)
 
 
+def _round_chain_coeffs(xs: list):
+    """Coefficient expansion of the verifier's folded commitment chain
+    c_{i+1} = L_i + x_i*c_i + x_i^2*R_i over the basis {c_0, L_i, R_i}:
+    returns (prod_all, cl, cr) with c_final = prod_all*c_0 + sum cl_i*L_i
+    + sum cr_i*R_i. Pure host bigint math — no group ops."""
+    k = len(xs)
+    suffix = [1] * (k + 1)
+    for i in range(k - 1, -1, -1):
+        suffix[i] = suffix[i + 1] * xs[i] % R
+    cl = [suffix[i + 1] for i in range(k)]
+    cr = [xs[i] * xs[i] % R * suffix[i + 1] % R for i in range(k)]
+    return suffix[0], cl, cr
+
+
+def _msm_is_zero(points_affine: jnp.ndarray, scalar_ints: list) -> bool:
+    """One device MSM, checked against the identity."""
+    out = dmsm.msm_auto(points_affine, jnp.asarray(ints_to_limbs(scalar_ints).T))
+    return dc.projective_to_host_points(out)[0] is None
+
+
 def _low_level_verify_ipa(
     params: IPAParams,
     b: list,
@@ -326,30 +355,42 @@ def _low_level_verify_ipa(
     proof: IPAProof,
     transcript,
 ) -> bool:
-    """``ipa/mod.rs:321-360``."""
+    """``ipa/mod.rs:321-360``, restructured TPU-first: every round challenge
+    is replayable from the proof's L/R points with no group work, so the
+    whole verification equation collapses into ONE device MSM over
+    {g_i, q, C, L_i, R_i} compared against the identity — zero host
+    scalar-muls and a single device round trip (the reference folds C
+    round-by-round with 3 group ops per round)."""
     t = transcript if transcript is not None else Transcript(IPA.transcript_label)
     t.append_point(commitment, "C")
     t.append_scalar(input_point % R, "input point")
     t.append_scalar(proof.y, "output point")
-    ra = t.digest("w", True)
+    w = t.digest("w", True)
 
-    q = g1_mul(params.q_host, ra)
-    c = g1_add(commitment, g1_mul(q, proof.y))
-    coeffs = [1]
-
+    xs = []
     for li, ri in zip(proof.l, proof.r):
         t.append_point(li, "L")
         t.append_point(ri, "R")
-        ra = t.digest("x", True)
-        c = g1_add(li, g1_add(g1_mul(c, ra), g1_mul(ri, ra * ra % R)))
-        coeffs = [v for x in coeffs for v in (x * ra % R, x)]
+        xs.append(t.digest("x", True))
 
-    coeffs_mont = df.to_mont(jnp.asarray(ints_to_limbs(coeffs).T), "fr")
-    combined_point = _msm_proj(params.g_proj[..., : len(coeffs)], coeffs_mont)
+    coeffs = [1]
+    for x in xs:
+        coeffs = [v for x_ in coeffs for v in (x_ * x % R, x_)]
+
+    prod_all, cl, cr = _round_chain_coeffs(xs)
     combined_b = sum(bi * ci % R for bi, ci in zip(b, coeffs)) % R
 
-    lhs = g1_add(
-        g1_mul(combined_point, proof.tip),
-        g1_mul(q, proof.tip * combined_b % R),
+    # c_0 = C + (w*y)*q_base; check  combined*tip + (w*q_base)*(tip*b') == c
+    #   <=>  sum tip*coeffs_i*g_i + q_base*w*(tip*b' - prod_all*y)
+    #        - prod_all*C - sum cl_i*L_i - sum cr_i*R_i  ==  0
+    g_sc = [proof.tip * ci % R for ci in coeffs]
+    q_sc = w * ((proof.tip * combined_b - prod_all * proof.y) % R) % R
+    extra_sc = [q_sc, (-prod_all) % R]
+    extra_sc += [(-x) % R for x in cl] + [(-x) % R for x in cr]
+    extra_pts = [params.q_host, commitment] + list(proof.l) + list(proof.r)
+
+    pts = jnp.concatenate(
+        [params.g_affine[..., : len(coeffs)], dc.host_points_to_affine(extra_pts)],
+        axis=-1,
     )
-    return c == lhs
+    return _msm_is_zero(pts, g_sc + extra_sc)
