@@ -121,7 +121,7 @@ def bench_verkle():
 
     sample = keys[:: max(1, len(keys) // 16)][:16]
     t0 = time.perf_counter()
-    proof, vq = t.prove_keys(sample)
+    proof = t.prove_keys(sample)
     emit("verkle_prove16_sec", time.perf_counter() - t0, "s", keys=len(sample))
 
 

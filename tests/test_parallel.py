@@ -45,6 +45,39 @@ def test_four_step_ntt_single_device():
     assert bool(jnp.all(got == ref))
 
 
+def test_protocol_layers_on_mesh():
+    """Mesh-wired PRODUCTION paths (not just kernels): verkle node-commit
+    batches, scheme commits and the multiproof D/E commits + E-aggregation
+    all shard across the 8-device mesh, bit-exact vs single-device."""
+    from verkle_kzg_tpu.poly import FrVector
+    from verkle_kzg_tpu.schemes import IPA, ipa_setup
+    from verkle_kzg_tpu.schemes.multiproof import (
+        ProverQuery,
+        prove_multiproof,
+        verify_multiproof,
+    )
+    from verkle_kzg_tpu.verkle import VerkleTree
+
+    mesh = make_mesh(8)
+    crs = ipa_setup(8)
+    keys = [(0, 1, 2), (0, 1, 3), (2, 5, 7), (6, 1, 2)]
+    t_mesh = VerkleTree(IPA, crs, key_len=3, internal_width=8, mesh=mesh)
+    t_ref = VerkleTree(IPA, crs, key_len=3, internal_width=8)
+    for i, k in enumerate(keys):
+        t_mesh.insert_single(k, 1000 + i)
+        t_ref.insert_single(k, 1000 + i)
+    assert t_mesh.commitment() == t_ref.commitment()
+
+    data = FrVector.from_ints([3, 1, 4, 1, 5, 9, 2, 6], crs.domain)
+    c_data = IPA.commit(crs, data, mesh=mesh)
+    assert c_data == IPA.commit(crs, data)
+    queries = [ProverQuery(data=data, commit=c_data, z=2, y=4)]
+    mp_mesh = prove_multiproof(IPA, crs, queries, mesh=mesh)
+    assert mp_mesh.d == prove_multiproof(IPA, crs, queries).d
+    vq = [q.to_verifier_query() for q in queries]
+    assert verify_multiproof(IPA, crs, vq, mp_mesh, mesh=mesh)
+
+
 def test_four_step_ntt_sharded_roundtrip():
     mesh = make_mesh(8)
     n = 64

@@ -134,9 +134,13 @@ def test_cache_invalidation(crs):
     assert c1 != c2
 
 
-def test_prove_keys(crs):
+def test_prove_keys_stateless(crs):
     """Path proving via the multiproof (greenfield: the reference's proving
-    impl block is empty, ``verkle-tree/src/lib.rs:141-152``)."""
+    impl block is empty, ``verkle-tree/src/lib.rs:141-152``). Verification
+    is STATELESS: after proving, the tree is destroyed and the check runs
+    from (root commitment, keys, values, proof) alone."""
+    from verkle_kzg_tpu.verkle.tree import VerkleVerifier
+
     t = VerkleTree(KZG, crs, KEY_LEN, internal_width=WIDTH)
     k1 = random_key()
     k2 = random_key(prefix=(k1[0],))
@@ -145,14 +149,22 @@ def test_prove_keys(crs):
     v1, v2 = random_value(), random_value()
     t.insert_single(k1, v1)
     t.insert_single(k2, v2)
-    t.commitment()
+    root = t.commitment()
 
-    proof, vqueries = t.prove_keys([k1, k2])
-    assert t.verify_keys([k1, k2], {k1: v1, k2: v2}, proof, vqueries)
+    proof = t.prove_keys([k1, k2])
+    verifier = VerkleVerifier(
+        scheme=KZG, params=crs, key_len=KEY_LEN, ext_width=t.ext_width
+    )
+    del t  # light client: no tree state
 
-    # tampered query y must fail
-    vqueries[0].y = (vqueries[0].y + 1) % (1 << 61)
-    assert not t.verify_keys([k1, k2], {k1: v1, k2: v2}, proof, vqueries)
+    assert verifier.verify(root, [k1, k2], {k1: v1, k2: v2}, proof)
+    # wrong claimed value must fail
+    assert not verifier.verify(root, [k1, k2], {k1: v1 + 1, k2: v2}, proof)
+    # tampered commitment stream must fail
+    from verkle_kzg_tpu.hostmath.curve import g1_add, g1_generator
+
+    proof.commitments[0] = g1_add(proof.commitments[0], g1_generator())
+    assert not verifier.verify(root, [k1, k2], {k1: v1, k2: v2}, proof)
 
 
 def test_path_to_stem(crs):

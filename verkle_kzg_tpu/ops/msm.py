@@ -191,8 +191,13 @@ def msm_pippenger(
 
     mode = _pallas_mode()
     if mode != "off":
-        # One fused kernel: bucket tables VMEM-resident, points streamed.
-        buckets = PM.bucket_accumulate(
+        # Two fused kernels for the whole MSM: bucket accumulation with the
+        # table in VMEM scratch + in-kernel lane fold, then bucket suffix
+        # scans + Horner with the bucket axis riding the lanes. Returns the
+        # same group element as the XLA path (canonical affine), though the
+        # projective representative differs (identity-adds are masked in
+        # XLA but computed through the complete formulas here).
+        return PM.msm_single_fused(
             jnp.moveaxis(pts, 2, 0), digits, c, interpret=(mode == "interpret")
         )
     else:

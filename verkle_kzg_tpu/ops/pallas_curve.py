@@ -225,6 +225,75 @@ def k_point_reduce(p, spec: str = _fq):
     return k_lazy_to_reduced(p, spec)
 
 
+def k_point_add_lazy(p, q):
+    """Lazy-domain complete projective addition (RCB16 algorithm 7):
+    inputs/outputs in [0, 2m)."""
+    X1, Y1, Z1 = p[..., 0, :, :], p[..., 1, :, :], p[..., 2, :, :]
+    X2, Y2, Z2 = q[..., 0, :, :], q[..., 1, :, :], q[..., 2, :, :]
+
+    t0 = _lmul(X1, X2)
+    t1 = _lmul(Y1, Y2)
+    t2 = _lmul(Z1, Z2)
+    t3 = _ladd(X1, Y1)
+    t4 = _ladd(X2, Y2)
+    t3 = _lmul(t3, t4)
+    t4 = _ladd(t0, t1)
+    t3 = _lsub(t3, t4)
+    t4 = _ladd(Y1, Z1)
+    X3 = _ladd(Y2, Z2)
+    t4 = _lmul(t4, X3)
+    X3 = _ladd(t1, t2)
+    t4 = _lsub(t4, X3)
+    X3 = _ladd(X1, Z1)
+    Y3 = _ladd(X2, Z2)
+    X3 = _lmul(X3, Y3)
+    Y3 = _ladd(t0, t2)
+    Y3 = _lsub(X3, Y3)
+    X3 = _ladd(t0, t0)
+    t0 = _ladd(X3, t0)
+    t2 = k_mul9_lazy(t2)
+    Z3 = _ladd(t1, t2)
+    t1 = _lsub(t1, t2)
+    Y3 = k_mul9_lazy(Y3)
+    X3 = _lmul(t4, Y3)
+    t2 = _lmul(t3, t1)
+    X3 = _lsub(t2, X3)
+    Y3 = _lmul(Y3, t0)
+    t1 = _lmul(t1, Z3)
+    Y3 = _ladd(t1, Y3)
+    t0 = _lmul(t0, t3)
+    Z3 = _lmul(Z3, t4)
+    Z3 = _ladd(Z3, t0)
+
+    return jnp.stack([X3, Y3, Z3], axis=-3)
+
+
+def k_point_double_lazy(p):
+    """Lazy-domain complete projective doubling (RCB16 algorithm 9)."""
+    X, Y, Z = p[..., 0, :, :], p[..., 1, :, :], p[..., 2, :, :]
+
+    t0 = _lmul(Y, Y)
+    Z3 = _ladd(t0, t0)
+    Z3 = _ladd(Z3, Z3)
+    Z3 = _ladd(Z3, Z3)
+    t1 = _lmul(Y, Z)
+    t2 = _lmul(Z, Z)
+    t2 = k_mul9_lazy(t2)
+    X3 = _lmul(t2, Z3)
+    Y3 = _ladd(t0, t2)
+    Z3 = _lmul(t1, Z3)
+    t1 = _ladd(t2, t2)
+    t2 = _ladd(t1, t2)
+    t0 = _lsub(t0, t2)
+    Y3 = _lmul(t0, Y3)
+    Y3 = _ladd(X3, Y3)
+    t1 = _lmul(X, Y)
+    X3 = _lmul(t0, t1)
+    X3 = _ladd(X3, X3)
+
+    return jnp.stack([X3, Y3, Z3], axis=-3)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------

@@ -38,7 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..params import NLIMBS
-from .pallas_curve import k_point_mixed_add_lazy, k_point_reduce
+from .pallas_curve import (
+    k_point_add_lazy,
+    k_point_double_lazy,
+    k_point_mixed_add_lazy,
+    k_point_reduce,
+)
 from .pallas_field import _rows_const, _kconst_ints
 
 L = NLIMBS
@@ -56,6 +61,49 @@ def _one_mont_rows(spec: str):
     return _rows_const(fs.r_mod_limbs)
 
 
+
+def _gather_scatter_step(tbl_ref, lead_idx, d, p, nbuckets: int, bsz: int):
+    """One accumulation step against the bucket table held in ``tbl_ref``
+    (indexed at ``lead_idx`` if not None): per-lane gather as a blocked
+    masked sum, fused lazy mixed-add, blocked select-scatter. Bucket blocks
+    of <=64 keep the working temporaries ~1.5 MB each so the whole kernel
+    stays inside the 16 MB VMEM budget."""
+    bblk = min(64, nbuckets)
+    nblk = nbuckets // bblk
+
+    def rd(b0):
+        if lead_idx is None:
+            return tbl_ref[pl.ds(b0, bblk)]
+        return tbl_ref[lead_idx, pl.ds(b0, bblk)]
+
+    def wr(b0, val):
+        if lead_idx is None:
+            tbl_ref[pl.ds(b0, bblk)] = val
+        else:
+            tbl_ref[lead_idx, pl.ds(b0, bblk)] = val
+
+    base = jax.lax.broadcasted_iota(jnp.int32, (bblk, 1, 1, bsz), 0)
+
+    def gather_blk(k, acc):
+        b0 = k * bblk
+        oh = d[None, None, None, :] == (base + b0)
+        t = jax.lax.bitcast_convert_type(rd(b0), jnp.int32)
+        return acc + jnp.sum(jnp.where(oh, t, 0), axis=0)
+
+    cur_i = jax.lax.fori_loop(
+        0, nblk, gather_blk, jnp.zeros((3, L, bsz), jnp.int32)
+    )
+    cur = jax.lax.bitcast_convert_type(cur_i, jnp.uint32)
+    new = k_point_mixed_add_lazy(cur, p)
+
+    def scatter_blk(k, _):
+        b0 = k * bblk
+        oh = d[None, None, None, :] == (base + b0)
+        wr(b0, jnp.where(oh, new[None], rd(b0)))
+        return 0
+
+    jax.lax.fori_loop(0, nblk, scatter_blk, 0)
+
 def _accum_kernel(digits_ref, pts_ref, out_ref, *, nbuckets: int, chunk: int):
     """digits_ref: (1, CH, B) int32; pts_ref: (CH, 2, L, B) uint32;
     out_ref: (1, nbuckets, 3, L, B) uint32 (VMEM-resident across chunks)."""
@@ -72,19 +120,7 @@ def _accum_kernel(digits_ref, pts_ref, out_ref, *, nbuckets: int, chunk: int):
     def step(i, _):
         d = digits_ref[0, i]  # (B,) int32: per-lane bucket index
         p = pts_ref[i]  # (2, L, B) affine point batch
-        tbl = out_ref[0]  # (2^c, 3, L, B): whole window table, VMEM-resident
-        bidx = jax.lax.broadcasted_iota(jnp.int32, (nbuckets, 1, 1, bsz), 0)
-        onehot = d[None, None, None, :] == bidx  # (2^c, 1, 1, B)
-        # Per-lane gather as ONE vectorized masked sum over the bucket axis
-        # (exactly one row selected per lane; int32 view because Mosaic has
-        # no unsigned reductions). Per-row ref indexing here is ~25x slower.
-        tbl_i = jax.lax.bitcast_convert_type(tbl, jnp.int32)
-        cur = jax.lax.bitcast_convert_type(
-            jnp.sum(jnp.where(onehot, tbl_i, 0), axis=0), jnp.uint32
-        )
-        new = k_point_mixed_add_lazy(cur, p)
-        # Scatter back as ONE whole-table select.
-        out_ref[0] = jnp.where(onehot, new[None], tbl)
+        _gather_scatter_step(out_ref, 0, d, p, nbuckets, bsz)
         return 0
 
     jax.lax.fori_loop(0, chunk, step, 0)
@@ -153,3 +189,113 @@ def bucket_accumulate(
         out_shape=jax.ShapeDtypeStruct((w, nbuckets, 3, L, b), jnp.uint32),
         interpret=interpret,
     )(digits.astype(jnp.int32), pts_stream)
+
+
+# ---------------------------------------------------------------------------
+# Single-MSM fast path: accumulate + lane-fold in one kernel, then the
+# bucket suffix scans + Horner in a second (the XLA post-processing was
+# ~60% of total MSM time at 2^18 after the accumulation fusion).
+# ---------------------------------------------------------------------------
+
+
+def _suffix_horner_kernel(ws_ref, out_ref, *, c: int, nbuckets: int, w_total: int):
+    """ws_ref: (1, 3, L, 2^c) — window W-1-i's folded buckets with the
+    BUCKET index in the LANE axis. Computes sum_b b*B_b as the head of a
+    double inclusive suffix scan (log-depth lane shifts), then folds the
+    running Horner accumulator held in out_ref across the sequential grid:
+    acc <- 2^c * acc + S_w, top window first."""
+    i = pl.program_id(0)
+    x = ws_ref[0]  # (3, L, 2^c) canonical coords
+
+    zero = jnp.zeros((L, nbuckets), jnp.uint32)
+    one = jnp.broadcast_to(_one_mont_rows("fq"), (L, nbuckets))
+    inf = jnp.stack([zero, one, zero], axis=0)  # (3, L, 2^c)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nbuckets), 2)
+
+    def shift_left(v, sh):
+        # pltpu.roll takes non-negative shifts: left-by-sh == right-by-(n-sh)
+        rolled = pltpu.roll(v, nbuckets - sh, axis=2)
+        return jnp.where(lane < nbuckets - sh, rolled, inf)
+
+    # drop bucket 0, then double suffix scan; element 0 = sum_b b*B_b.
+    # fori_loops with dynamic shift amounts keep the Mosaic trace small
+    # (a fully unrolled double scan stalls the compiler for tens of min).
+    x = shift_left(x, 1)
+    log_steps = (nbuckets - 1).bit_length()
+
+    def scan_step(k, v):
+        return k_point_add_lazy(v, shift_left(v, jnp.int32(1) << k))
+
+    x = jax.lax.fori_loop(0, log_steps, scan_step, x)
+    x = jax.lax.fori_loop(0, log_steps, scan_step, x)
+    s = x[..., 0:1]  # (3, L, 1)
+
+    @pl.when(i == 0)
+    def _first():
+        out_ref[...] = s
+
+    @pl.when(i > 0)
+    def _next():
+        acc = out_ref[...]
+        acc = jax.lax.fori_loop(0, c, lambda _, a: k_point_double_lazy(a), acc)
+        out_ref[...] = k_point_add_lazy(acc, s)
+
+    @pl.when(i == w_total - 1)
+    def _canonical():
+        out_ref[...] = k_point_reduce(out_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("c", "chunk", "interpret"))
+def msm_single_fused(
+    pts_stream: jnp.ndarray,
+    digits: jnp.ndarray,
+    c: int,
+    chunk: int = DEFAULT_CHUNK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Complete single-MSM pipeline: (S, 2, L, B) points x (W, S, B) digits
+    -> one point (3, L, 1), same group element as msm_pippenger's XLA path
+    (identical canonical affine; the projective representative differs
+    because identity-adds are masked in XLA but computed through the
+    complete formulas here).
+
+    Three fused stages: (1) bucket accumulation (bucket tables VMEM-
+    resident); (2) lane fold — the bucket axis is transposed into the LANE
+    axis first (XLA transpose, ~1 ms), so the fold is a leading-axis
+    halving with perfectly shaped (3, L, 2^c) pallas blocks; (3) one
+    suffix-scan + Horner kernel whose sequential grid carries the running
+    accumulator."""
+    from . import pallas_curve as PC
+
+    w, s, b = digits.shape
+    assert b & (b - 1) == 0, "lane count must be a power of two"
+    nbuckets = 1 << c
+
+    buckets = bucket_accumulate(pts_stream, digits, c, chunk, interpret)
+
+    # (W, 2^c, 3, L, B) -> (W, B, 3, L, 2^c): bucket index into lanes
+    t = jnp.transpose(buckets, (0, 4, 2, 3, 1))
+    while t.shape[1] > 1:
+        half = t.shape[1] // 2
+        t = PC.add(t[:, :half], t[:, half:], interpret=interpret)
+    ws = t[:, 0]  # (W, 3, L, 2^c)
+
+    hkern = functools.partial(
+        _suffix_horner_kernel, c=c, nbuckets=nbuckets, w_total=w
+    )
+    return pl.pallas_call(
+        hkern,
+        grid=(w,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, L, nbuckets),
+                lambda i, w_=w: (w_ - 1 - i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (3, L, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, L, 1), jnp.uint32),
+        interpret=interpret,
+    )(ws)

@@ -62,7 +62,9 @@ def msm_sharded(
         )
 
     def local(pts, scs):
-        part = dmsm.msm_pippenger(pts, scs, c=c, lanes=lanes)  # (3, L, 1)
+        # size-adaptive local MSM: tiny shards take the naive path (cheap
+        # compiles in protocol-layer tests), big shards run Pippenger
+        part = dmsm.msm_auto(pts, scs, c=c, lanes=lanes)  # (3, L, 1)
         parts = jax.lax.all_gather(part, axis)  # (D, 3, L, 1)
         return dmsm.tree_reduce_points(parts, axis=0)
 
@@ -85,7 +87,8 @@ def msm_batched_sharded(
     mesh: Mesh,
     c: int = 8,
 ) -> jnp.ndarray:
-    """(B, N, 2, L) x (B, N, L) -> (B, 3, L), batch axis sharded (DP)."""
+    """(B, 2, L, N) x (B, L, N) -> (3, L, B), batch axis sharded (DP).
+    The result batch rides the lane (minor) axis, matching msm_batched."""
     axis = mesh.axis_names[0]
     d = mesh.shape[axis]
     b = points_affine.shape[0]
@@ -106,6 +109,41 @@ def msm_batched_sharded(
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=P(None, None, axis),  # result batch rides the lane axis
+        check_vma=False,
+    )
+    return fn(points_affine, scalars)[..., :b]
+
+
+def msm_fixed_base_sharded(
+    points_affine: jnp.ndarray,
+    scalars: jnp.ndarray,
+    mesh: Mesh,
+    c: int | None = None,
+) -> jnp.ndarray:
+    """Fixed-CRS MSM stack, batch-sharded: (2, L, N) x (B, L, N) -> (3, L, B).
+
+    The shared basis is REPLICATED (every device already holds the CRS);
+    only the scalar-vector batch is sharded — this is the verkle tree's
+    production commit path on a mesh (thousands of width-256 node vectors,
+    the analog of the reference's per-node rayon-less serial loop,
+    ``node.rs:212-277``). Zero cross-device communication: each device
+    commits its own slice of nodes."""
+    axis = mesh.axis_names[0]
+    d = mesh.shape[axis]
+    b = scalars.shape[0]
+    per = math.ceil(b / d)
+    padded = per * d
+    if padded != b:
+        pad = padded - b
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((pad,) + scalars.shape[1:], jnp.uint32)], axis=0
+        )
+
+    fn = shard_map(
+        functools.partial(dmsm.msm_fixed_base, c=c),
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(None, None, axis),
         check_vma=False,
     )
     return fn(points_affine, scalars)[..., :b]

@@ -173,9 +173,17 @@ class IPA:
         return params.g_affine
 
     @staticmethod
-    def commit(params: IPAParams, data: FrVector):
-        """C = <g, a> (``ipa/mod.rs:130-135``): one device Pippenger MSM."""
-        out = dmsm.msm_auto(params.g_affine, data.to_scalars_standard())
+    def commit(params: IPAParams, data: FrVector, mesh=None):
+        """C = <g, a> (``ipa/mod.rs:130-135``): one device Pippenger MSM;
+        with ``mesh``, the point/scalar vectors shard across devices
+        (parallel/mesh.py::msm_sharded)."""
+        scalars = data.to_scalars_standard()
+        if mesh is not None:
+            from ..parallel.mesh import msm_sharded
+
+            out = msm_sharded(params.g_affine, scalars, mesh)
+        else:
+            out = dmsm.msm_auto(params.g_affine, scalars)
         return dc.projective_to_host_points(out)[0]
 
     # -- eval proofs ----------------------------------------------------------

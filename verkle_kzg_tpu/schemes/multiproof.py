@@ -120,8 +120,11 @@ def _absorb_queries(t: Transcript, queries) -> None:
         t.append_scalar(q.y, "y")
 
 
-def prove_multiproof(scheme, params, queries: list) -> Multiproof:
-    """``multiproof.rs:99-176``. ``scheme`` is IPA or KZG (schemes/*)."""
+def prove_multiproof(scheme, params, queries: list, mesh=None) -> Multiproof:
+    """``multiproof.rs:99-176``. ``scheme`` is IPA or KZG (schemes/*).
+    With ``mesh``, the D/E commitment MSMs shard across devices — the
+    mesh-parallel replacement for the reference's rayon pool
+    (``multiproof.rs:119-132``)."""
     domain = params.domain
     n = domain.size
     m = len(queries)
@@ -144,7 +147,7 @@ def prove_multiproof(scheme, params, queries: list) -> Multiproof:
     )
     g = FrVector(g_vals, n, domain)
 
-    d_commit = scheme.commit(params, g)
+    d_commit = scheme.commit(params, g, mesh=mesh)
     t.append_point(d_commit, "D")
     t_chal = t.digest("t", True)
 
@@ -156,7 +159,7 @@ def prove_multiproof(scheme, params, queries: list) -> Multiproof:
     h_vals = _h_accumulate(scaled, inv_mont)
     h = FrVector(h_vals, n, domain)
 
-    e_commit = scheme.commit(params, h)
+    e_commit = scheme.commit(params, h, mesh=mesh)
     t.append_point(e_commit, "E")
 
     h_minus_g = h - g
@@ -167,8 +170,9 @@ def prove_multiproof(scheme, params, queries: list) -> Multiproof:
     return Multiproof(proof=proof, d=d_commit)
 
 
-def verify_multiproof(scheme, params, queries: list, proof: Multiproof) -> bool:
-    """``multiproof.rs:178-215``."""
+def verify_multiproof(scheme, params, queries: list, proof: Multiproof, mesh=None) -> bool:
+    """``multiproof.rs:178-215``. With ``mesh``, the E-aggregation MSM
+    shards across devices."""
     from ..hostmath.curve import g1_add, g1_neg
 
     domain = params.domain
@@ -195,7 +199,12 @@ def verify_multiproof(scheme, params, queries: list, proof: Multiproof) -> bool:
     coeffs = [e_coeffs[c] for c in commits]
     pts = dc.host_points_to_affine(commits)
     scalars = jnp.asarray(ints_to_limbs(coeffs).T)
-    e_dev = dmsm.msm_auto(pts, scalars)
+    if mesh is not None:
+        from ..parallel.mesh import msm_sharded
+
+        e_dev = msm_sharded(pts, scalars, mesh)
+    else:
+        e_dev = dmsm.msm_auto(pts, scalars)
     e_commit = dc.projective_to_host_points(e_dev)[0]
     t.append_point(e_commit, "E")
 

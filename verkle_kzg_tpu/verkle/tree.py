@@ -81,10 +81,16 @@ class VerkleTree:
         key_len: int,
         ext_width: int | None = None,
         internal_width: int = INTERNAL_WIDTH,
+        mesh=None,
     ):
         self.scheme = scheme
         self.params = params
         self.key_len = key_len
+        #: optional jax.sharding.Mesh: node-commit batches are then sharded
+        #: across devices (parallel/mesh.py::msm_fixed_base_sharded) — the
+        #: mesh-parallel replacement for the reference's serial per-node
+        #: loop (``node.rs:212-277``).
+        self.mesh = mesh
         self.ext_width = ext_width if ext_width is not None else key_len
         # width of internal-node vectors; the reference hardcodes 256
         # (quirk 4, node.rs:263-264) — kept as the default, overridable for
@@ -223,7 +229,12 @@ class VerkleTree:
             scalars = jnp.asarray(
                 flat.reshape(padded, width, -1).transpose(0, 2, 1)
             )  # (B, L, width)
-            pts = dmsm.msm_fixed_base(basis, scalars)  # (3, L, B)
+            if self.mesh is not None:
+                from ..parallel.mesh import msm_fixed_base_sharded
+
+                pts = msm_fixed_base_sharded(basis, scalars, self.mesh)
+            else:
+                pts = dmsm.msm_fixed_base(basis, scalars)  # (3, L, B)
             out.extend(dc.projective_to_host_points(pts)[:b])
         return out
 
@@ -354,11 +365,13 @@ class VerkleTree:
     def prove_keys(self, keys):
         """One multiproof covering every opening along the given keys' paths.
 
-        Returns (Multiproof, verifier_queries). The verifier re-derives the
-        expected (z, y) structure from the keys/values and the commitments
-        carried in ``verifier_queries`` — parent/child linkage is enforced
-        because each parent opening's y is the data-item hash of the child's
-        commitment.
+        Returns a ``VerkleProof`` — a STATELESS verification object: it
+        carries the multiproof, every non-root commitment touched (deduped,
+        in first-use order over the sorted keys), and each key's path depth.
+        ``VerkleVerifier.verify`` reconstructs the full opening list from
+        (root commitment, keys, claimed values, proof) alone — no tree
+        access — with parent/child linkage enforced because each parent
+        opening's y is the data-item hash of the child's commitment.
         """
         from ..poly import FrVector
         from ..schemes.multiproof import ProverQuery, prove_multiproof
@@ -375,20 +388,133 @@ class VerkleTree:
             for (commit, z, y, vec) in raw
         ]
         proof = prove_multiproof(self.scheme, self.params, pqueries)
-        return proof, [q.to_verifier_query() for q in pqueries]
 
-    def verify_keys(self, keys, values, proof, verifier_queries) -> bool:
-        """Check the multiproof AND that the queries actually bind the given
-        key->value pairs to this tree's root commitment."""
-        from ..schemes.multiproof import verify_multiproof
+        # First-use-ordered non-root commitment stream + per-key depths:
+        # exactly what the stateless reconstruction consumes.
+        depths = {}
+        for key in sorted(tuple(k) for k in keys):
+            stem, _ = self._split_key(key)
+            d, n = 0, self.root
+            while isinstance(n, InternalNode):
+                n = n.children[stem[d]]
+                d += 1
+            depths[key] = d
+        commitments, seen = [], set()
+        for key in sorted(tuple(k) for k in keys):
+            stem, unit = self._split_key(key)
+            node = self.root
+            for d in range(depths[key]):
+                node = node.children[stem[d]]
+                prefix = stem[: d + 1]
+                if prefix not in seen:
+                    seen.add(prefix)
+                    commitments.append(node.commit)
+            in_c1 = unit < self.ext_width // 2
+            ckey = (stem[: depths[key]], 1 if in_c1 else 2)
+            if ckey not in seen:
+                seen.add(ckey)
+                commitments.append(node.c1_commit if in_c1 else node.c2_commit)
+        return VerkleProof(multiproof=proof, commitments=commitments, depths=depths)
 
-        root_commit = self.root.commit
-        expected = self._canonical_queries(keys, values)
-        if len(expected) != len(verifier_queries):
+    def verify_keys(self, keys, values, proof) -> bool:
+        """Stateless check against THIS tree's root commitment (convenience
+        wrapper; uses only the cached root commitment, never tree internals)."""
+        return VerkleVerifier(
+            scheme=self.scheme,
+            params=self.params,
+            key_len=self.key_len,
+            ext_width=self.ext_width,
+        ).verify(self.root.commit, keys, values, proof)
+
+
+@dataclasses.dataclass
+class VerkleProof:
+    """Stateless verkle verification object (greenfield: the reference's
+    proving impl block is empty, ``verkle-tree/src/lib.rs:141-152``; the
+    shape follows Ethereum's verkle proofs — commitments-by-first-use plus
+    per-stem depths alongside one multiproof)."""
+
+    multiproof: object
+    commitments: list  # non-root commitments, first-use order (sorted keys)
+    depths: dict  # key tuple -> internal path length
+
+
+@dataclasses.dataclass
+class VerkleVerifier:
+    """Verifies key->value openings against a ROOT COMMITMENT ONLY.
+
+    Holds just the public tree geometry (key length / extension width) and
+    the commitment scheme. The expected (commit, z, y) opening list is
+    reconstructed from the proof's commitment stream: every internal-path
+    opening's y is forced to be the data-item hash of the next commitment
+    in the stream, the extension openings bind the stem and the c1/c2
+    commitments, and the leaf openings bind the CLAIMED values — so a
+    light client needs no trie state at all."""
+
+    scheme: object
+    params: object
+    key_len: int
+    ext_width: int
+
+    def verify(self, root_commitment, keys, values, proof: VerkleProof) -> bool:
+        from ..schemes.multiproof import VerifierQuery, verify_multiproof
+
+        try:
+            queries = self._reconstruct_queries(root_commitment, keys, values, proof)
+        except (KeyError, StopIteration, AssertionError):
             return False
-        for (commit, z, y, _vec), q in zip(expected, verifier_queries):
-            if q.commit != commit or q.z != z or q.y != y:
-                return False
-        if expected and expected[0][0] != root_commit:
-            return False
-        return verify_multiproof(self.scheme, self.params, verifier_queries, proof)
+        vqueries = [VerifierQuery(c, z, y) for (c, z, y) in queries]
+        return verify_multiproof(self.scheme, self.params, vqueries, proof.multiproof)
+
+    def _reconstruct_queries(self, root_commitment, keys, values, proof):
+        half = self.ext_width // 2
+        stream = iter(proof.commitments)
+        assigned = {(): root_commitment}
+        queries, seen = [], set()
+
+        def add(commit, z, y, dedup_key):
+            if dedup_key in seen:
+                return
+            seen.add(dedup_key)
+            queries.append((commit, z, y))
+
+        for key in sorted(tuple(k) for k in keys):
+            assert len(key) == self.key_len
+            stem, unit = key, key[-1]  # full key as stem (reference quirk)
+            depth = proof.depths[key]
+            assert depth >= 1
+            parent = root_commitment
+            for d in range(depth):
+                prefix = stem[: d + 1]
+                child = assigned.get(prefix)
+                if child is None:
+                    child = next(stream)
+                    assigned[prefix] = child
+                add(parent, stem[d], g1_to_data_item(child), (stem[:d], stem[d]))
+                parent = child
+            ext_commit = parent
+            ext_prefix = stem[:depth]
+            add(ext_commit, 0, 1, (ext_prefix, "ext", 0))
+            add(ext_commit, 1, _stem_item(stem), (ext_prefix, "ext", 1))
+
+            in_c1 = unit < half
+            ckey = (ext_prefix, 1 if in_c1 else 2)
+            c_commit = assigned.get(ckey)
+            if c_commit is None:
+                c_commit = next(stream)
+                assigned[ckey] = c_commit
+            add(
+                ext_commit,
+                2 if in_c1 else 3,
+                g1_to_data_item(c_commit),
+                (ext_prefix, "ext", 2 if in_c1 else 3),
+            )
+            low, high = _split_value(values[key])
+            lo_idx = (2 * unit) % self.ext_width
+            hi_idx = (2 * unit + 1) % self.ext_width
+            add(c_commit, lo_idx, low, (ext_prefix, "c", in_c1, lo_idx))
+            add(c_commit, hi_idx, high, (ext_prefix, "c", in_c1, hi_idx))
+
+        # the whole stream must be consumed (no smuggled extras)
+        assert next(stream, None) is None
+        return queries
