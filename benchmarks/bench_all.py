@@ -22,7 +22,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import pathlib
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -78,21 +83,21 @@ def bench_multiproof(ipa_state):
     from verkle_kzg_tpu.schemes import IPA, ProverQuery, prove_multiproof, verify_multiproof
 
     crs, data, c = ipa_state
-    m = int(os.environ.get("BENCH_MP_M", "1024"))
     n = crs.domain.size
-    # reuse one dataset/commitment across queries (the expensive part is the
-    # per-query device math, which does not dedupe)
-    queries = []
     vals = data.to_ints()
-    for i in range(m):
-        z = rng.randrange(n)
-        queries.append(ProverQuery(data=data, commit=c, z=z, y=vals[z]))
-    proof = prove_multiproof(IPA, crs, queries)  # warm
-    dt = t_wall(lambda: prove_multiproof(IPA, crs, queries), reps=1)
-    emit("multiproof_prove_sec", dt, "s", m=m, queries_per_sec=round(m / dt, 1))
-    vq = [q.to_verifier_query() for q in queries]
-    dt = t_wall(lambda: verify_multiproof(IPA, crs, vq, proof), reps=1)
-    emit("multiproof_verify_sec", dt, "s", m=m)
+    # the reference harness measures M in {4096, 16384, 32768}
+    # (``benches/ipa.rs:19,111-159``); default covers that plus round-1's 1024
+    for m in (int(x) for x in os.environ.get("BENCH_MP_M", "1024,4096,16384,32768").split(",")):
+        queries = []
+        for i in range(m):
+            z = rng.randrange(n)
+            queries.append(ProverQuery(data=data, commit=c, z=z, y=vals[z]))
+        proof = prove_multiproof(IPA, crs, queries)  # warm
+        dt = t_wall(lambda: prove_multiproof(IPA, crs, queries), reps=1)
+        emit("multiproof_prove_sec", dt, "s", m=m, queries_per_sec=round(m / dt, 1))
+        vq = [q.to_verifier_query() for q in queries]
+        dt = t_wall(lambda: verify_multiproof(IPA, crs, vq, proof), reps=1)
+        emit("multiproof_verify_sec", dt, "s", m=m)
 
 
 def bench_verkle():
@@ -134,8 +139,8 @@ def bench_msm_sweep():
     from verkle_kzg_tpu.params import R
 
     lo = int(os.environ.get("BENCH_MSM_LO", "16"))
-    hi = int(os.environ.get("BENCH_MSM_HI", "20"))
-    lanes = int(os.environ.get("BENCH_LANES", "256"))
+    hi = int(os.environ.get("BENCH_MSM_HI", "22"))
+    lanes = int(os.environ.get("BENCH_LANES", "128"))
     c = int(os.environ.get("BENCH_WINDOW_C", "8"))
     nrng = np.random.default_rng(7)
 

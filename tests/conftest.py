@@ -19,6 +19,11 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the limb-plane kernels produce large HLO graphs;
 # caching makes re-runs compile-free.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import pathlib
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -104,3 +104,21 @@ def test_multiproof(which, ipa_crs, kzg_crs):
     # tamper with a query's claimed y (``multiproof.rs:302-303``)
     vqueries[0].y = (vqueries[0].y + 1) % (1 << 61)
     assert not verify_multiproof(scheme, crs, vqueries, proof)
+
+
+def test_prove_commitment_non_pow2_watermark(ipa_crs):
+    """Non-power-of-two watermark: zero-padded to the next power of two
+    (COMPAT.md quirk 10; the reference's iterator-zip fold drops data,
+    ``utils.rs:31-38``)."""
+    from verkle_kzg_tpu.poly import FrVector
+
+    data = FrVector.from_ints([7, 3, 9, 2, 5], ipa_crs.domain)  # max = 5
+    c = IPA.commit(ipa_crs, data)
+    proof = IPA.prove_commitment(ipa_crs, c, data)
+    assert len(proof.l) == 3  # padded to 8 -> 3 halving rounds
+    assert IPA.verify_commitment_proof(ipa_crs, c, proof)
+    from verkle_kzg_tpu.hostmath.curve import g1_add, g1_generator
+
+    assert not IPA.verify_commitment_proof(
+        ipa_crs, g1_add(c, g1_generator()), proof
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 
+from ..errors import PointGeneratorError, TranscriptError
 from ..params import R
 from .serialize import PARSE_FAILURE, g1_from_random_bytes
 
@@ -28,7 +29,7 @@ def expand_message_xmd(msg: bytes, dst: bytes, len_in_bytes: int) -> bytes:
     """RFC 9380 section 5.3.1 with SHA-256."""
     ell = -(-len_in_bytes // _SHA256_OUT)
     if ell > 255 or len_in_bytes > 65535 or len(dst) > 255:
-        raise ValueError("expand_message_xmd bounds exceeded")
+        raise TranscriptError("expand_message_xmd bounds exceeded")
     dst_prime = dst + len(dst).to_bytes(1, "big")
     z_pad = bytes(_SHA256_BLOCK)
     l_i_b = len_in_bytes.to_bytes(2, "big")
@@ -79,5 +80,5 @@ def eth_gen_at(seed: bytes, index: int):
     on failure (``ipa_point_generator.rs:69-78``)."""
     pt = eth_hash_to_curve(seed, index.to_bytes(8, "little"))
     if pt is PARSE_FAILURE:
-        raise ValueError("invalid point at index")
+        raise PointGeneratorError("invalid point at index")
     return pt

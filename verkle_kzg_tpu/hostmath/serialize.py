@@ -18,6 +18,7 @@ Conventions replicated (ark-serialize / ark-ec 0.4):
 
 from __future__ import annotations
 
+from ..errors import SerializationError
 from ..params import Q, R
 
 INFINITY_FLAG = 1 << 6
@@ -64,23 +65,23 @@ def g1_from_compressed_bytes(b: bytes):
     from .curve import g1_from_x
 
     if len(b) != 32:
-        raise ValueError("expected 32 bytes")
+        raise SerializationError("expected 32 bytes")
     flags = b[31] & 0xC0
     masked = bytearray(b)
     masked[31] &= 0x3F
     x = int.from_bytes(bytes(masked), "little")
     if flags == INFINITY_FLAG:
         if x != 0:
-            raise ValueError("infinity flag with nonzero x")
+            raise SerializationError("infinity flag with nonzero x")
         return None
     if flags == (INFINITY_FLAG | Y_NEGATIVE_FLAG):
-        raise ValueError("invalid flag combination")
+        raise SerializationError("invalid flag combination")
     if x >= Q:
-        raise ValueError("x out of range")
+        raise SerializationError("x out of range")
     # serialization marked negative iff y > -y; reconstruct accordingly
     pt = g1_from_x(x, greatest=(flags == Y_NEGATIVE_FLAG))
     if pt is None:
-        raise ValueError("x not on curve")
+        raise SerializationError("x not on curve")
     return pt
 
 

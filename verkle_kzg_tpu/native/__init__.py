@@ -95,6 +95,22 @@ def g1_msm(points, scalars, c: int = 12):
     return _unpack_points(out.raw, 1)[0]
 
 
+def g1_msm_serial(points, scalars):
+    """The reference's MSM primitive, measured honestly: a naive SERIAL
+    fold of one full double-and-add scalar-mul + add per point
+    (``vector-commit/src/utils.rs:16-19``) in optimized C++ (u64x4
+    Montgomery, Jacobian). This is the baseline line for BASELINE.md."""
+    lib = _load()
+    if lib is None:
+        from ..hostmath.curve import g1_msm_naive
+
+        return g1_msm_naive(points, scalars)
+    n = len(points)
+    out = ctypes.create_string_buffer(64)
+    lib.vkzg_g1_msm_naive(_pack_points(points), _pack_scalars(scalars), n, out)
+    return _unpack_points(out.raw, 1)[0]
+
+
 def g1_scalar_mul_batch(points, scalars) -> list:
     lib = _load()
     if lib is None:

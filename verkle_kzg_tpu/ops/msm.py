@@ -31,6 +31,7 @@ from . import curve as C
 from . import field as F
 from . import pallas_curve as PC
 from . import pallas_msm as PM
+from ..utils import metrics
 
 L = NLIMBS
 TOTAL_BITS = LIMB_BITS * L  # 256
@@ -124,6 +125,8 @@ def msm_auto(
     machinery costs ~W * 2^c slots regardless of N), Pippenger with
     c ~ log2(N) otherwise. (2, L, N) x (L, N) -> (3, L, 1)."""
     n = points_affine.shape[-1]
+    metrics.record("msm.single.calls")
+    metrics.record("msm.single.points", n)
     if n < 64:
         return fold_reduce_lanes(C.scalar_mul(C.from_affine(points_affine), scalars))
     if c is None:
@@ -295,6 +298,8 @@ def msm_batched(
     commitments fused into one device call, with the node batch riding the
     VPU lane axis. Small N falls back to batched double-and-add."""
     bsz, _, _, n = points_affine.shape
+    metrics.record("msm.batched.calls")
+    metrics.record("msm.batched.points", bsz * n)
     if n < 64:
         return _batched_naive(C.from_affine(points_affine), scalars)
     c = _auto_c_batched(n, c)
@@ -314,6 +319,8 @@ def msm_fixed_base(
     stream transpose). Seam for a precomputed-table fixed-base kernel."""
     b = scalars.shape[0]
     n = points_affine.shape[-1]
+    metrics.record("msm.fixed_base.calls")
+    metrics.record("msm.fixed_base.points", b * n)
     if n < 64:
         pts = jnp.broadcast_to(
             C.from_affine(points_affine)[None], (b, 3, L, n)

@@ -105,9 +105,10 @@ def _gather_scatter_step(tbl_ref, lead_idx, d, p, nbuckets: int, bsz: int):
     jax.lax.fori_loop(0, nblk, scatter_blk, 0)
 
 def _accum_kernel(digits_ref, pts_ref, out_ref, *, nbuckets: int, chunk: int):
-    """digits_ref: (1, CH, B) int32; pts_ref: (CH, 2, L, B) uint32;
-    out_ref: (1, nbuckets, 3, L, B) uint32 (VMEM-resident across chunks)."""
-    s_chunk = pl.program_id(1)
+    """digits_ref: (1, CH, BB) int32; pts_ref: (CH, 2, L, BB) uint32;
+    out_ref: (1, nbuckets, 3, L, BB) uint32 (VMEM-resident across the
+    point-chunk grid dim, which iterates innermost)."""
+    s_chunk = pl.program_id(2)
     bsz = out_ref.shape[-1]
 
     @pl.when(s_chunk == 0)
@@ -130,7 +131,7 @@ def _accum_kernel(digits_ref, pts_ref, out_ref, *, nbuckets: int, chunk: int):
     # reduced coordinates, bit-identical to the XLA loop) is preserved.
     # Done in bucket blocks: a whole-table reduce would materialize several
     # table-sized temporaries and blow the VMEM budget.
-    @pl.when(s_chunk == pl.num_programs(1) - 1)
+    @pl.when(s_chunk == pl.num_programs(2) - 1)
     def _normalize():
         blk = min(16, nbuckets)
         for b in range(0, nbuckets, blk):
@@ -153,6 +154,12 @@ def bucket_accumulate(
     Each lane b is an independent accumulation stream (its own digit row and
     point column) — the same contract as ops/msm.py's XLA bucket loop, so
     the two paths are interchangeable bit-for-bit.
+
+    Wide lane batches (the verkle node-commit fleets run B up to 2048) are
+    split into lane blocks of <= 128 as a middle grid dimension, keeping
+    every VMEM-resident table block at c-bits x 3 x L x 128 words; the
+    point-chunk dim iterates innermost so each (window, lane-block) table
+    stays resident across its whole point stream.
     """
     w, s, b = digits.shape
     nbuckets = 1 << c
@@ -167,28 +174,43 @@ def bucket_accumulate(
             [digits, jnp.zeros((w, pad, b), jnp.int32)], axis=1
         )
 
+    bb = min(128, b)
+    nbb = -(-b // bb)
+    bpad = nbb * bb - b
+    if bpad:
+        pts_stream = jnp.concatenate(
+            [pts_stream, jnp.zeros(pts_stream.shape[:-1] + (bpad,), jnp.uint32)],
+            axis=-1,
+        )
+        digits = jnp.concatenate(
+            [digits, jnp.zeros(digits.shape[:-1] + (bpad,), jnp.int32)], axis=-1
+        )
+
     kern = functools.partial(_accum_kernel, nbuckets=nbuckets, chunk=chunk)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        grid=(w, nchunks),
+        grid=(w, nbb, nchunks),
         in_specs=[
             pl.BlockSpec(
-                (1, chunk, b), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+                (1, chunk, bb), lambda i, k, j: (i, j, k), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (chunk, 2, L, b),
-                lambda i, j: (j, 0, 0, 0),
+                (chunk, 2, L, bb),
+                lambda i, k, j: (j, 0, 0, k),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, nbuckets, 3, L, b),
-            lambda i, j: (i, 0, 0, 0, 0),
+            (1, nbuckets, 3, L, bb),
+            lambda i, k, j: (i, 0, 0, 0, k),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((w, nbuckets, 3, L, b), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct(
+            (w, nbuckets, 3, L, nbb * bb), jnp.uint32
+        ),
         interpret=interpret,
     )(digits.astype(jnp.int32), pts_stream)
+    return out[..., :b]
 
 
 # ---------------------------------------------------------------------------

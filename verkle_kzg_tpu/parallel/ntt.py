@@ -122,3 +122,91 @@ def ntt_fr_sharded(x_mont, mesh=None, n1: int | None = None):
 
 def intt_fr_sharded(x_mont, mesh=None, n1: int | None = None):
     return _run_sharded(x_mont, mesh, n1, inverse=True)
+
+
+# ---------------------------------------------------------------------------
+# G1 four-step: the same factorization over POINT butterflies (the missing
+# half of the round-1 distributed NTT; unlocks the distributed FK prover,
+# reference transforms at ``kzg/mod.rs:200-235``).
+# ---------------------------------------------------------------------------
+
+from ..ops import curve as dc  # noqa: E402
+
+
+def _g1_ntt_lead_axis(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """Size-T G1 NTT along axis 0 of (T, 3, L, B): butterflies are
+    (u, v) -> (u + tw*v, u - tw*v) with a vectorized 256-bit scalar-mul
+    for the twiddle; the (sharded) lane axis B never moves."""
+    t = x.shape[0]
+    plan = dntt._Plan(t, inverse)
+    x = x[jnp.asarray(plan.bitrev)]
+    for u_idx, v_idx, tw in plan.stages:
+        tw_std = jnp.moveaxis(jnp.asarray(tw), -1, 0)[..., None]  # (T/2, L, 1)
+        u = x[jnp.asarray(u_idx)]
+        b = x.shape[-1]
+        v = dc.scalar_mul(
+            x[jnp.asarray(v_idx)], jnp.broadcast_to(tw_std, (t // 2, L, b))
+        )
+        x = x.at[jnp.asarray(u_idx)].set(dc.add(u, v))
+        x = x.at[jnp.asarray(v_idx)].set(dc.add(u, dc.neg(v)))
+    if inverse:
+        n_inv = jnp.asarray(ints_to_limbs([plan.n_inv]).T)  # (L, 1)
+        x = dc.scalar_mul(x, jnp.broadcast_to(n_inv, x.shape[:1] + (L, x.shape[-1])))
+    return x
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_matrix_std(n1: int, n2: int, inverse: bool) -> np.ndarray:
+    """(n1, L, n2) STANDARD-form w^(k1*j2) (G1 scalar-mul wants standard)."""
+    n = n1 * n2
+    w = fr_root_of_unity(n)
+    if inverse:
+        w = fr_inv(w)
+    vals = [pow(w, k1 * j2, R) for k1 in range(n1) for j2 in range(n2)]
+    arr = ints_to_limbs(vals).reshape(n1, n2, L)
+    return np.moveaxis(arr, -1, 1).copy()
+
+
+def _g1_four_step(a, n1: int, n2: int, inverse: bool, minor_sharding):
+    # a: (n1, 3, L, n2) with the lane axis (j2) sharded
+    a = _g1_ntt_lead_axis(a, inverse)
+    a = dc.scalar_mul(a, jnp.asarray(_twiddle_matrix_std(n1, n2, inverse)))
+    a = jnp.swapaxes(a, 0, 3)  # (j2, 3, L, k1)
+    if minor_sharding is not None:
+        a = jax.lax.with_sharding_constraint(a, minor_sharding)
+    a = _g1_ntt_lead_axis(a, inverse)  # index [k2, 3, L, k1]
+    return jnp.moveaxis(a, 0, -2).reshape(3, L, n1 * n2)
+
+
+def _run_g1_sharded(pts_proj, mesh, n1, inverse):
+    n = pts_proj.shape[-1]
+    if n1 is None:
+        n1 = 1 << ((n.bit_length() - 1) // 2)
+    n2 = n // n1
+    assert n1 * n2 == n and n1 > 1 and n2 > 1
+
+    a = jnp.moveaxis(pts_proj.reshape(3, L, n1, n2), 2, 0)  # (n1, 3, L, n2)
+    if mesh is None:
+        sh = None
+    else:
+        axis = mesh.axis_names[0]
+        d = mesh.shape[axis]
+        assert n2 % d == 0 and n1 % d == 0, "both factors must divide the mesh"
+        sh = NamedSharding(mesh, P(None, None, None, axis))
+        a = jax.device_put(a, sh)
+
+    fn = jax.jit(
+        functools.partial(
+            _g1_four_step, n1=n1, n2=n2, inverse=inverse, minor_sharding=sh
+        )
+    )
+    return fn(a)
+
+
+def ntt_g1_sharded(pts_proj, mesh=None, n1: int | None = None):
+    """Distributed forward G1 NTT of a (3, L, N) projective point vector."""
+    return _run_g1_sharded(pts_proj, mesh, n1, inverse=False)
+
+
+def intt_g1_sharded(pts_proj, mesh=None, n1: int | None = None):
+    return _run_g1_sharded(pts_proj, mesh, n1, inverse=True)

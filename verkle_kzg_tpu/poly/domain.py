@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,16 +63,14 @@ class Domain:
     def d_vanishing_inv(self) -> jnp.ndarray:
         return df.to_mont(jnp.asarray(ints_to_limbs(self.vanishing_inv).T), "fr")
 
-    @functools.cached_property
-    def d_invdiff(self) -> jnp.ndarray:
-        """(Z, L, N) Montgomery tensor InvDiff[z, :, i] = 1/(w^i - w^z), zero
-        on the diagonal. One-time cost per domain; feeds every in-domain
-        quotient (``lagrange_basis.rs:91-119``) as a dense row gather."""
-        n = self.size
-        wi = jnp.broadcast_to(self.d_omegas[None], (n, L, n))
-        wz = jnp.moveaxis(self.d_omegas, -1, 0)[:, :, None]  # (N, L, 1)
-        diff = df.sub(wi, jnp.broadcast_to(wz, (n, L, n)), "fr")
-        return df.batch_inv_mont(diff, "fr", axis=-1)
+    def invdiff_rows(self, z_sel: jnp.ndarray) -> jnp.ndarray:
+        """(Zq, L, N) Montgomery rows InvDiff[k, :, i] = 1/(w^i - w^z_k),
+        zero where i == z_k — computed ON DEMAND for the selected domain
+        indices only (one broadcast subtract + batched inversion), so
+        in-domain quotients never materialize the O(N^2) all-pairs tensor
+        and large domains (e.g. the 2^20 CRS) stay in budget. Feeds the
+        quotient kernel (``lagrange_basis.rs:91-119``)."""
+        return _invdiff_rows(self.d_omegas, jnp.asarray(z_sel, jnp.int32))
 
     # -- host-side helpers ---------------------------------------------------
 
@@ -91,3 +90,16 @@ class Domain:
         t = (pow(point, n, R) - 1) * self.size_inv % R
         denoms = fr_batch_inverse([(point - w) % R for w in self.omegas])
         return [t * w % R * d % R for w, d in zip(self.omegas, denoms)]
+
+
+@jax.jit
+def _invdiff_rows(omegas: jnp.ndarray, z_sel: jnp.ndarray) -> jnp.ndarray:
+    """(L, N) domain omegas x (Zq,) int32 indices -> (Zq, L, N) rows of
+    1/(w^i - w^z) with zeros on the i == z diagonal (batch_inv_mont's
+    zero-skip semantics)."""
+    n = omegas.shape[-1]
+    zq = z_sel.shape[0]
+    wz = jnp.moveaxis(omegas[:, z_sel], -1, 0)[:, :, None]  # (Zq, L, 1)
+    wi = jnp.broadcast_to(omegas[None], (zq, L, n))
+    diff = df.sub(wi, jnp.broadcast_to(wz, (zq, L, n)), "fr")
+    return df.batch_inv_mont(diff, "fr", axis=-1)

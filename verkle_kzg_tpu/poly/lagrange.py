@@ -111,7 +111,7 @@ class FrVector:
     def divide_by_vanishing(self, index: int) -> "FrVector":
         """In-domain quotient (``lagrange_basis.rs:91-119``)."""
         n = self.domain.size
-        invdiff_row = self.domain.d_invdiff[index]  # (L, N)
+        invdiff_row = self.domain.invdiff_rows(jnp.asarray([index]))[0]  # (L, N)
         van_z = self.domain.d_vanishing[:, index : index + 1]  # (L, 1)
         ratio = df.mont_mul(
             jnp.broadcast_to(van_z, (L, n)), self.domain.d_vanishing_inv, "fr"

@@ -36,19 +36,40 @@ from .kzg import KZGParams, KZGProof
 L = NLIMBS
 
 
-def prove_all_points(params: KZGParams, data: FrVector) -> list:
+def prove_all_points(params: KZGParams, data: FrVector, mesh=None) -> list:
+    """With ``mesh``, every transform (Fr and G1, size N and 2N) runs as
+    the distributed four-step over the device mesh (parallel/ntt.py) —
+    the sharded analog of the reference's single-threaded FK transforms
+    (``kzg/mod.rs:200-235``). Mesh runs require both four-step factors of
+    N and 2N to be divisible by the mesh size."""
     n = params.size
     assert data.domain.size == n
 
+    if mesh is not None:
+        from ..parallel.ntt import (
+            intt_fr_sharded,
+            intt_g1_sharded,
+            ntt_fr_sharded,
+            ntt_g1_sharded,
+        )
+
+        ntt_fr_ = lambda x: ntt_fr_sharded(x, mesh)  # noqa: E731
+        intt_fr_ = lambda x: intt_fr_sharded(x, mesh)  # noqa: E731
+        ntt_g1_ = lambda x: ntt_g1_sharded(x, mesh)  # noqa: E731
+        intt_g1_ = lambda x: intt_g1_sharded(x, mesh)  # noqa: E731
+    else:
+        ntt_fr_, intt_fr_ = dntt.ntt_fr, dntt.intt_fr
+        ntt_g1_, intt_g1_ = dntt.ntt_g1, dntt.intt_g1
+
     # 1. coefficients of f
-    c = dntt.intt_fr(data.vals)  # (L, N) mont
+    c = intt_fr_(data.vals)  # (L, N) mont
 
     # 2. monomial SRS back from the Lagrange SRS. Setup computed
     #    lagrange = ifft(monomial) (kzg/mod.rs:121), so the inverse map is
     #    the FORWARD fft. (The reference's dead FK code applies ifft again
     #    at kzg/mod.rs:215 — part of the same documented breakage.)
     lag = dc.from_affine(params.lagrange_affine)
-    mono = dntt.ntt_g1(lag)  # [s^i G], (3, L, N)
+    mono = ntt_g1_(lag)  # [s^i G], (3, L, N)
 
     # 3. circulant Toeplitz product at size 2N:
     #    c_hat = [c_0..c_{N-1}, 0 x N]
@@ -59,17 +80,17 @@ def prove_all_points(params: KZGParams, data: FrVector) -> list:
     a_rev = mono[..., : n - 1][..., ::-1]  # a_{N-2} .. a_0
     s_hat = jnp.concatenate([a_rev, dc.infinity((), n + 1)], axis=-1)  # (3, L, 2N)
 
-    y_f = dntt.ntt_fr(c_hat)  # (L, 2N) mont
-    v_g = dntt.ntt_g1(s_hat)  # (3, L, 2N)
+    y_f = ntt_fr_(c_hat)  # (L, 2N) mont
+    v_g = ntt_g1_(s_hat)  # (3, L, 2N)
     u = dc.scalar_mul(v_g, df.from_mont(y_f, "fr"))
-    r = dntt.intt_g1(u)
+    r = intt_g1_(u)
 
     h = jnp.concatenate(
         [r[..., n - 1 : 2 * n - 2], dc.infinity((), 1)], axis=-1
     )  # (3, L, N)
 
     # 4. proofs = h evaluated over the domain
-    pis = dntt.ntt_g1(h)
+    pis = ntt_g1_(h)
     pi_hosts = dc.projective_to_host_points(pis)
 
     # 5. package with the stored evaluations (zero past the watermark)

@@ -32,6 +32,7 @@ from ..ops import msm as dmsm
 from ..ops.limbs import ints_to_limbs, limbs_to_ints
 from ..params import R, NLIMBS
 from ..poly import Domain, FrVector
+from ..utils import metrics
 from .generators import DEFAULT_IPA_SEED, ipa_generate_points
 
 L = NLIMBS
@@ -234,15 +235,27 @@ class IPA:
         params: IPAParams, commitment, data: FrVector
     ) -> IPACommitProof:
         m = data.max  # reference: data.max() + 1 elements = data.max
+        # Non-power-of-two watermark: pad with zeros to the next power of
+        # two. The commitment is unchanged (zero coefficients contribute
+        # nothing), the halving loop stays shape-regular, and the proof
+        # verifies against g[..2^k]. DOCUMENTED DIVERGENCE (COMPAT.md):
+        # the reference's fold silently DROPS the tail element of each odd
+        # half via iterator zip (``utils.rs:31-38``), producing proofs its
+        # own verifier rejects.
+        n2 = 1 << (m - 1).bit_length() if m > 1 else 1
         a = data.vals[:, :m]
-        g = params.g_proj[..., :m]
+        if n2 != m:
+            a = jnp.concatenate(
+                [a, jnp.zeros((a.shape[0], n2 - m), jnp.uint32)], axis=-1
+            )
+        g = params.g_proj[..., :n2]
         l_pts, r_pts = [], []
 
         t = Transcript(IPA.transcript_label)
         t.append_point(commitment, "C")
         ra = t.digest("x", True)
 
-        n_cur = m
+        n_cur = n2
         while n_cur > 1:
             half = n_cur // 2
             a_l, a_r = a[:, :half], a[:, half:]
@@ -304,6 +317,7 @@ def _low_level_ipa(
 ) -> IPAProof:
     """The halving loop (``ipa/mod.rs:268-319``), host-sequenced, device-
     computed."""
+    metrics.record("ipa.prove.calls")
     n = a.shape[-1]
     eval_ = _mont_to_int(_inner_mont(a, b))
 
@@ -369,6 +383,7 @@ def _low_level_verify_ipa(
     {g_i, q, C, L_i, R_i} compared against the identity — zero host
     scalar-muls and a single device round trip (the reference folds C
     round-by-round with 3 group ops per round)."""
+    metrics.record("ipa.verify.calls")
     t = transcript if transcript is not None else Transcript(IPA.transcript_label)
     t.append_point(commitment, "C")
     t.append_scalar(input_point % R, "input point")

@@ -28,6 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..errors import KZGError
 from ..hostmath.curve import g1_add, g1_generator, g1_mul, g1_neg, g2_add, g2_mul, g2_neg, g2_generator
 from ..hostmath.pairing import pairing
 from ..hostmath.field import fr_batch_inverse
@@ -120,7 +121,7 @@ class KZG:
         evaluation = data.evaluate(point)
         if point <= params.size:
             if point == params.size:
-                raise IndexError(
+                raise KZGError(
                     "point == max_size is out of range for the in-domain "
                     "quotient (reference panics here too)"
                 )

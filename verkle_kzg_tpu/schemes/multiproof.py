@@ -31,7 +31,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..errors import BoundsError
 from ..fiatshamir.transcript import Transcript
+from ..utils import metrics
 from ..hostmath.field import fr_batch_inverse
 from ..ops import curve as dc
 from ..ops import field as df
@@ -70,38 +72,40 @@ class Multiproof:
     d: tuple  # commitment to g(x)
 
 
-@functools.partial(jax.jit, static_argnames="n")
-def _scale_and_group(data_stack, r_pows, z_idx, n: int):
-    """Scale each query's data by r^i and scatter-sum into per-z rows.
+@functools.partial(jax.jit, static_argnames="zp")
+def _scale_and_group(data_stack, r_pows, z_compact, zp: int):
+    """Scale each query's data by r^i and scatter-sum into COMPACT per-z
+    rows (one row per DISTINCT opening point, not per domain point — the
+    round-1 advisor flagged the dense variant's O(N^2) invdiff + all-N
+    quotients as a hard ceiling on large domains).
 
-    data_stack: (M, L, N) Mont; r_pows: (M, L, 1) Mont; z_idx: (M,) int32.
-    Returns scaled (M, L, N) and grouped (Z=n, L, N) [row z = sum of the
-    scaled data of the queries opening at z]. The scatter-sum is EXACT lazy
-    integer addition on limb planes (M < 2^16 keeps columns < 2^32),
-    collapsed by one Montgomery pass.
+    data_stack: (M, L, N) Mont; r_pows: (M, L, 1) Mont; z_compact: (M,)
+    int32 indices into the distinct-z list (padded length zp). The
+    scatter-sum is EXACT lazy integer addition on limb planes (M < 2^16
+    keeps columns < 2^32), collapsed by one Montgomery pass.
     """
     scaled = df.mont_mul(data_stack, jnp.broadcast_to(r_pows, data_stack.shape), "fr")
-    grouped_lazy = jnp.zeros((n,) + scaled.shape[1:], jnp.uint32).at[z_idx].add(scaled)
+    grouped_lazy = (
+        jnp.zeros((zp,) + scaled.shape[1:], jnp.uint32).at[z_compact].add(scaled)
+    )
     grouped = df.reduce_columns(grouped_lazy, "fr")
     return scaled, grouped
 
 
 @jax.jit
-def _all_quotients_sum(grouped, invdiff, vanishing, vanishing_inv):
-    """g(x) = sum_z quotient(grouped[z], z)  — dense over all domain points.
-
-    grouped/invdiff: (Z, L, N); vanishing/vanishing_inv: (L, N).
-    Rows whose grouped data is zero contribute zero quotients, so running
-    every domain point unconditionally is branchless AND correct.
-    """
-    n = grouped.shape[0]
-    van_z = jnp.moveaxis(vanishing, -1, 0)[:, :, None]  # (Z, L, 1)
+def _quotients_sum(grouped, invdiff_rows, vanishing, vanishing_inv, z_vals):
+    """g(x) = sum over the distinct opening points z of
+    quotient(grouped[z-row], z). grouped/invdiff_rows: (Zq, L, N);
+    z_vals: (Zq,) int32 actual domain indices (duplicated padding rows
+    carry zero data and contribute zero quotients)."""
+    zq = grouped.shape[0]
+    van_z = jnp.moveaxis(vanishing[:, z_vals], -1, 0)[:, :, None]  # (Zq, L, 1)
     ratio = df.mont_mul(
         jnp.broadcast_to(van_z, grouped.shape),
         jnp.broadcast_to(vanishing_inv[None], grouped.shape),
         "fr",
     )
-    q = jax.vmap(_quotient_in_domain)(grouped, invdiff, ratio, jnp.arange(n))
+    q = jax.vmap(_quotient_in_domain)(grouped, invdiff_rows, ratio, z_vals)
     return df.lazy_sum(q, 0, "fr")
 
 
@@ -128,8 +132,11 @@ def prove_multiproof(scheme, params, queries: list, mesh=None) -> Multiproof:
     domain = params.domain
     n = domain.size
     m = len(queries)
-    assert m < (1 << 16), "lazy scatter-sum bound requires M < 2^16"
+    if m >= (1 << 16):
+        raise BoundsError("lazy scatter-sum bound requires M < 2^16")
 
+    metrics.record("multiproof.prove.calls")
+    metrics.record("multiproof.prove.queries", m)
     t = Transcript("multiproof")
     _absorb_queries(t, queries)
     r = t.digest("r", True)
@@ -138,12 +145,24 @@ def prove_multiproof(scheme, params, queries: list, mesh=None) -> Multiproof:
     r_mont = df.to_mont(jnp.asarray(ints_to_limbs([r]).T), "fr")[:, 0]  # (L,)
     r_pows = df.powers_of_mont(r_mont, m, "fr")  # (L, M)
     r_pows = jnp.moveaxis(r_pows, -1, 0)[:, :, None]  # (M, L, 1)
-    z_idx = jnp.asarray([q.z for q in queries], dtype=jnp.int32)
 
-    scaled, grouped = _scale_and_group(data_stack, r_pows, z_idx, n)
+    # group by DISTINCT opening point, padded to a power of two so the
+    # device program compiles once per (M, Zq, N) bucket (pad rows reuse
+    # z=0 but carry zero data -> zero quotients)
+    zs = sorted({q.z for q in queries})
+    z_of = {z: i for i, z in enumerate(zs)}
+    zp = 1 << (len(zs) - 1).bit_length() if len(zs) > 1 else 1
+    z_compact = jnp.asarray([z_of[q.z] for q in queries], dtype=jnp.int32)
+    z_vals = jnp.asarray(zs + [0] * (zp - len(zs)), dtype=jnp.int32)
 
-    g_vals = _all_quotients_sum(
-        grouped, domain.d_invdiff, domain.d_vanishing, domain.d_vanishing_inv
+    scaled, grouped = _scale_and_group(data_stack, r_pows, z_compact, zp)
+
+    g_vals = _quotients_sum(
+        grouped,
+        domain.invdiff_rows(z_vals),
+        domain.d_vanishing,
+        domain.d_vanishing_inv,
+        z_vals,
     )
     g = FrVector(g_vals, n, domain)
 

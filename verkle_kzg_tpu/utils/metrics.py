@@ -5,6 +5,11 @@ Here the protocol layers record the work they dispatch — MSM sizes, batch
 shapes, transcript digests — so production deployments can account for
 device work without profiling overhead. Counters are process-local and
 explicitly reset; recording costs a dict update.
+
+Counters fire at the PYTHON call layer: a ``record`` reached inside a
+``jax.jit``-traced function runs once per compilation, not per execution —
+the wired call sites (scheme commits/proves, verkle commit passes, msm_*
+entry points) are all eager-side for this reason.
 """
 
 from __future__ import annotations

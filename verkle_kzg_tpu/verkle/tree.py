@@ -31,11 +31,13 @@ import dataclasses
 
 import jax.numpy as jnp
 
+from ..errors import NodeError
 from ..hostmath.serialize import fr_from_le_bytes_mod_order, g1_to_data_item
 from ..ops import curve as dc
 from ..ops import msm as dmsm
 from ..ops.limbs import ints_to_limbs
 from ..params import R
+from ..utils import metrics
 
 INTERNAL_WIDTH = 256  # hardcoded in the reference (node.rs:263-264)
 
@@ -102,7 +104,8 @@ class VerkleTree:
 
     def _split_key(self, key):
         key = tuple(key)
-        assert len(key) == self.key_len
+        if len(key) != self.key_len:
+            raise NodeError(f"key length {len(key)} != {self.key_len}")
         return key, key[-1]  # full key as stem (reference quirk)
 
     @staticmethod
@@ -136,7 +139,7 @@ class VerkleTree:
             depth = len(path)
             child = node.children.get(stem[depth])
             if child is None:
-                raise KeyError("Invalid path requested")
+                raise NodeError("Invalid path requested")
             path.append((stem[: depth + 1], stem[depth], node))
             node = child
         return path
@@ -153,7 +156,7 @@ class VerkleTree:
         """``node.rs:133-197`` with identical branching."""
         if isinstance(node, ExtensionNode):
             if node.stem != stem:
-                raise AssertionError("Traversed to extension node with differing stem")
+                raise NodeError("Traversed to extension node with differing stem")
             node.commit = None
             node.leaves.update(values)
             return
@@ -185,6 +188,9 @@ class VerkleTree:
         MSMs over all dirty nodes (vs per-node MSMs in ``node.rs:212-277``)."""
         dirty_ext, dirty_internal = [], []
         self._collect_dirty(self.root, 0, dirty_ext, dirty_internal)
+        metrics.record("verkle.commit.passes")
+        metrics.record("verkle.commit.dirty_ext", len(dirty_ext))
+        metrics.record("verkle.commit.dirty_internal", len(dirty_internal))
 
         if dirty_ext:
             self._commit_extensions(dirty_ext)
@@ -321,13 +327,13 @@ class VerkleTree:
             while isinstance(n, InternalNode):
                 child = n.children.get(stem[depth])
                 if child is None:
-                    raise KeyError(f"key {key} not in tree (absence proofs TBD)")
+                    raise NodeError(f"key {key} not in tree (absence proofs TBD)")
                 path.append((n, depth, stem[depth], child))
                 n = child
                 depth += 1
             ext = n
             if ext.stem != stem or unit not in ext.leaves:
-                raise KeyError(f"key {key} not in tree (absence proofs TBD)")
+                raise NodeError(f"key {key} not in tree (absence proofs TBD)")
 
             for parent, d, z, child in path:
                 add(
@@ -461,7 +467,7 @@ class VerkleVerifier:
 
         try:
             queries = self._reconstruct_queries(root_commitment, keys, values, proof)
-        except (KeyError, StopIteration, AssertionError):
+        except (NodeError, KeyError, StopIteration, AssertionError):
             return False
         vqueries = [VerifierQuery(c, z, y) for (c, z, y) in queries]
         return verify_multiproof(self.scheme, self.params, vqueries, proof.multiproof)
