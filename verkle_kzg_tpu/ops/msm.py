@@ -175,7 +175,9 @@ def msm_pippenger(
     ``c``: window bits (2^c buckets/window, bucket 0 unused);
     ``lanes``: accumulation lanes (VPU width multiplier)."""
     n = points_affine.shape[-1]
-    lanes = min(lanes, n)
+    # the fused pallas pipeline wants a power-of-two lane count (lane-fold
+    # halvings); padding fills the tail with zero scalars (bucket 0)
+    lanes = min(lanes, 1 << (n - 1).bit_length()) if n > 1 else 1
     nbuckets = 1 << c
     w = math.ceil(TOTAL_BITS / c)
 
@@ -245,6 +247,10 @@ def _msm_lanewise(pts_stream, digits, nbuckets: int, c: int) -> jnp.ndarray:
             pts_stream, digits.astype(jnp.int32), c,
             interpret=(mode == "interpret"),
         )
+        # batched tail (per-lane weighted sums + Horner) in pallas too:
+        # the XLA suffix scans over (W, 2^c-1, 3, L, B) arrays dominate
+        # verkle commit passes otherwise
+        return PM.batched_bucket_tail(buckets, c, interpret=(mode == "interpret"))
     else:
         buckets0 = C.infinity((w, nbuckets), b)  # (W, 2^c, 3, L, B)
 

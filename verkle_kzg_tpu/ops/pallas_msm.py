@@ -220,28 +220,19 @@ def bucket_accumulate(
 # ---------------------------------------------------------------------------
 
 
-def _suffix_horner_kernel(ws_ref, out_ref, *, c: int, nbuckets: int, w_total: int):
-    """ws_ref: (1, 3, L, 2^c) — window W-1-i's folded buckets with the
-    BUCKET index in the LANE axis. Computes sum_b b*B_b as the head of a
-    double inclusive suffix scan (log-depth lane shifts), then folds the
-    running Horner accumulator held in out_ref across the sequential grid:
-    acc <- 2^c * acc + S_w, top window first."""
-    i = pl.program_id(0)
-    x = ws_ref[0]  # (3, L, 2^c) canonical coords
-
-    zero = jnp.zeros((L, nbuckets), jnp.uint32)
-    one = jnp.broadcast_to(_one_mont_rows("fq"), (L, nbuckets))
-    inf = jnp.stack([zero, one, zero], axis=0)  # (3, L, 2^c)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nbuckets), 2)
+def _window_sum(x, nbuckets: int, lanes_total: int):
+    """sum_b b*B_b of a (3, L, lanes_total) bucket row (bucket index in the
+    LANE axis, padded to >= 128 lanes) as the head of a double inclusive
+    suffix scan — log-depth dynamic lane rotates."""
+    zero = jnp.zeros((L, lanes_total), jnp.uint32)
+    one = jnp.broadcast_to(_one_mont_rows("fq"), (L, lanes_total))
+    inf = jnp.stack([zero, one, zero], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes_total), 2)
 
     def shift_left(v, sh):
-        # pltpu.roll takes non-negative shifts: left-by-sh == right-by-(n-sh)
-        rolled = pltpu.roll(v, nbuckets - sh, axis=2)
+        rolled = pltpu.roll(v, jnp.int32(lanes_total) - sh, axis=2)
         return jnp.where(lane < nbuckets - sh, rolled, inf)
 
-    # drop bucket 0, then double suffix scan; element 0 = sum_b b*B_b.
-    # fori_loops with dynamic shift amounts keep the Mosaic trace small
-    # (a fully unrolled double scan stalls the compiler for tens of min).
     x = shift_left(x, 1)
     log_steps = (nbuckets - 1).bit_length()
 
@@ -250,17 +241,30 @@ def _suffix_horner_kernel(ws_ref, out_ref, *, c: int, nbuckets: int, w_total: in
 
     x = jax.lax.fori_loop(0, log_steps, scan_step, x)
     x = jax.lax.fori_loop(0, log_steps, scan_step, x)
-    s = x[..., 0:1]  # (3, L, 1)
+    return x[..., 0:1]  # (3, L, 1)
+
+
+def _suffix_horner_kernel(
+    ws_ref, out_ref, *, c: int, nbuckets: int, w_total: int, lanes_total: int
+):
+    """ws_ref: (1, 3, L, lanes_total) — window W-1-i's folded buckets with
+    the BUCKET index in the LANE axis (padded up to >= 128 lanes: Mosaic's
+    dynamic rotate needs full lane tiles). Computes sum_b b*B_b as the head
+    of a double inclusive suffix scan (log-depth lane shifts), then folds
+    the running Horner accumulator held in out_ref across the sequential
+    grid: acc <- 2^c * acc + S_w, top window first."""
+    i = pl.program_id(0)
+    s_w = _window_sum(ws_ref[0], nbuckets, lanes_total)
 
     @pl.when(i == 0)
     def _first():
-        out_ref[...] = s
+        out_ref[...] = s_w
 
     @pl.when(i > 0)
     def _next():
         acc = out_ref[...]
         acc = jax.lax.fori_loop(0, c, lambda _, a: k_point_double_lazy(a), acc)
-        out_ref[...] = k_point_add_lazy(acc, s)
+        out_ref[...] = k_point_add_lazy(acc, s_w)
 
     @pl.when(i == w_total - 1)
     def _canonical():
@@ -302,15 +306,29 @@ def msm_single_fused(
         t = PC.add(t[:, :half], t[:, half:], interpret=interpret)
     ws = t[:, 0]  # (W, 3, L, 2^c)
 
+    # pad the bucket-lane axis to a full 128-lane tile (small windows, e.g.
+    # c=6 from halved IPA rounds, otherwise hit Mosaic's dynamic-rotate
+    # sub-tile limitation)
+    lanes_total = max(nbuckets, 128)
+    if lanes_total != nbuckets:
+        ws = jnp.concatenate(
+            [ws, jnp.zeros(ws.shape[:-1] + (lanes_total - nbuckets,), jnp.uint32)],
+            axis=-1,
+        )
+
     hkern = functools.partial(
-        _suffix_horner_kernel, c=c, nbuckets=nbuckets, w_total=w
+        _suffix_horner_kernel,
+        c=c,
+        nbuckets=nbuckets,
+        w_total=w,
+        lanes_total=lanes_total,
     )
     return pl.pallas_call(
         hkern,
         grid=(w,),
         in_specs=[
             pl.BlockSpec(
-                (1, 3, L, nbuckets),
+                (1, 3, L, lanes_total),
                 lambda i, w_=w: (w_ - 1 - i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -321,3 +339,69 @@ def msm_single_fused(
         out_shape=jax.ShapeDtypeStruct((3, L, 1), jnp.uint32),
         interpret=interpret,
     )(ws)
+
+
+def _suffix_horner_batched_kernel(
+    ws_ref, out_ref, *, c: int, nbuckets: int, w_total: int, lanes_total: int
+):
+    """Batched variant: grid (B, W); cell (b, i) processes window W-1-i of
+    batch element b, carrying b's Horner accumulator in its out block."""
+    i = pl.program_id(1)
+    s_w = _window_sum(ws_ref[0, 0], nbuckets, lanes_total)
+
+    @pl.when(i == 0)
+    def _first():
+        out_ref[0] = s_w
+
+    @pl.when(i > 0)
+    def _next():
+        acc = out_ref[0]
+        acc = jax.lax.fori_loop(0, c, lambda _, a: k_point_double_lazy(a), acc)
+        out_ref[0] = k_point_add_lazy(acc, s_w)
+
+    @pl.when(i == w_total - 1)
+    def _canonical():
+        out_ref[0] = k_point_reduce(out_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("c", "interpret"))
+def batched_bucket_tail(
+    buckets: jnp.ndarray, c: int, interpret: bool = False
+) -> jnp.ndarray:
+    """(W, 2^c, 3, L, B) per-lane buckets -> (3, L, B) batch results:
+    per-lane weighted bucket sums + Horner, one kernel. The pallas-side
+    replacement for the XLA suffix scans of the BATCHED MSM path (each
+    lane is an independent MSM, so there is no lane fold)."""
+    w, nbuckets, _, _, b = buckets.shape
+    lanes_total = max(nbuckets, 128)
+    # (W, 2^c, 3, L, B) -> (B, W, 3, L, 2^c): bucket axis into lanes
+    ws = jnp.transpose(buckets, (4, 0, 2, 3, 1))
+    if lanes_total != nbuckets:
+        ws = jnp.concatenate(
+            [ws, jnp.zeros(ws.shape[:-1] + (lanes_total - nbuckets,), jnp.uint32)],
+            axis=-1,
+        )
+    kern = functools.partial(
+        _suffix_horner_batched_kernel,
+        c=c,
+        nbuckets=nbuckets,
+        w_total=w,
+        lanes_total=lanes_total,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(b, w),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 3, L, lanes_total),
+                lambda bb, i, w_=w: (bb, w_ - 1 - i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, L, 1), lambda bb, i: (bb, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 3, L, 1), jnp.uint32),
+        interpret=interpret,
+    )(ws)
+    return jnp.moveaxis(out[..., 0], 0, -1)  # (3, L, B)

@@ -28,18 +28,40 @@ Faithfully replicated reference semantics (with quirks, SURVEY.md §5):
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 
 from ..errors import NodeError
 from ..hostmath.serialize import fr_from_le_bytes_mod_order, g1_to_data_item
 from ..ops import curve as dc
 from ..ops import msm as dmsm
+import numpy as np
+
 from ..ops.limbs import ints_to_limbs
 from ..params import R
 from ..utils import metrics
 
 INTERNAL_WIDTH = 256  # hardcoded in the reference (node.rs:263-264)
+
+
+@functools.partial(jax.jit, static_argnames="t")
+def _sparse_commit_device(basis_aff, flat_idx, scal_std, t: int):
+    """(2, L, W) basis x (B*T,) lane indices x (L, B*T) standard scalars
+    -> (3, L, B) commitments: batched double-and-add over the gathered
+    basis points, then a log-depth fold of each node's T terms."""
+    gathered = basis_aff[..., flat_idx]  # (2, L, B*T)
+    prods = dc.scalar_mul(dc.from_affine(gathered), scal_std)  # (3, L, B*T)
+    bt = prods.shape[-1]
+    # (3, L, B, T) -> (T, 3, L, B): the term axis leads so the halving fold
+    # keeps coordinates at axis -3 as the point kernels require
+    prods = jnp.moveaxis(prods.reshape(3, prods.shape[1], bt // t, t), -1, 0)
+    while prods.shape[0] > 1:
+        half = prods.shape[0] // 2
+        prods = dc.add(prods[:half], prods[half:])
+    return prods[0]
+
 
 
 @dataclasses.dataclass
@@ -216,24 +238,47 @@ class VerkleTree:
     # ((W x 2^c x 3 x L x CHUNK) words) while keeping the lanes packed.
     COMMIT_CHUNK = 2048
 
-    def _batched_commit(self, vectors):
-        """Commit a list of equal-width int vectors with a few fused device
-        calls (one per COMMIT_CHUNK).
+    # Node vectors with at most this many nonzero coefficients take the
+    # SPARSE commit path: gather the few live basis points and run batched
+    # scalar-muls instead of a full width-N MSM per node. Verkle trees are
+    # extremely sparse in practice (a 1-leaf extension's c1/c2 vectors have
+    # 2 nonzeros of 256), so this is the production hot path; the reference
+    # walks the full vector regardless (``utils.rs:16-19``).
+    SPARSE_NNZ_MAX = 8
 
-        Chunks are padded to a power of two (zero vectors commit to the
-        identity and are discarded) so the device program compiles once per
-        (width, pow2-batch) pair instead of once per node count."""
-        width = len(vectors[0])
+    def _batched_commit(self, sparse_vecs, width):
+        """Commit a list of SPARSE vectors ({index: value} dicts, all of
+        ``width``) with a few fused device calls (one per COMMIT_CHUNK).
+
+        Vectors with <= SPARSE_NNZ_MAX nonzeros take the gather +
+        scalar-mul path; otherwise the dense Pippenger fleet. Chunk sizes
+        are padded to FIXED shapes so each (width, path) pair traces and
+        compiles exactly one device program regardless of node counts."""
+        nnz = [sorted(k for k, v in d.items() if v % R) for d in sparse_vecs]
+        maxnnz = max((len(ix) for ix in nnz), default=0)
+        if 0 < maxnnz <= self.SPARSE_NNZ_MAX:
+            return self._sparse_commit(sparse_vecs, nnz, maxnnz, width)
+        return self._dense_commit(sparse_vecs, width)
+
+    def _dense_commit(self, sparse_vecs, width):
         basis = self.scheme.basis_affine(self.params)[..., :width]
         out = []
-        for start in range(0, len(vectors), self.COMMIT_CHUNK):
-            chunk = vectors[start : start + self.COMMIT_CHUNK]
+        for start in range(0, len(sparse_vecs), self.COMMIT_CHUNK):
+            chunk = sparse_vecs[start : start + self.COMMIT_CHUNK]
             b = len(chunk)
-            padded = 1 << (b - 1).bit_length() if b > 1 else 1
-            chunk = chunk + [[0] * width] * (padded - b)
-            flat = ints_to_limbs([v % R for vec in chunk for v in vec])
+            # big batches use ONE fixed shape (single jit trace + compile
+            # per width); small batches stay small (cheap CPU tests)
+            if b > 64:
+                padded = self.COMMIT_CHUNK if b > 512 else 512
+            else:
+                padded = 1 << (b - 1).bit_length() if b > 1 else 1
+            flat = [0] * (padded * width)
+            for bi, d in enumerate(chunk):
+                base_off = bi * width
+                for j, v in d.items():
+                    flat[base_off + j] = v % R
             scalars = jnp.asarray(
-                flat.reshape(padded, width, -1).transpose(0, 2, 1)
+                ints_to_limbs(flat).reshape(padded, width, -1).transpose(0, 2, 1)
             )  # (B, L, width)
             if self.mesh is not None:
                 from ..parallel.mesh import msm_fixed_base_sharded
@@ -244,13 +289,44 @@ class VerkleTree:
             out.extend(dc.projective_to_host_points(pts)[:b])
         return out
 
+    def _sparse_commit(self, sparse_vecs, nnz, maxnnz, width):
+        """Commit sparse vectors as <= T batched scalar-muls per node plus a
+        log-depth fold: device work scales with the NONZERO count, not the
+        vector width. T is padded to a power of two; pad slots use basis
+        index 0 with a zero scalar (0*P = identity)."""
+        t = 1 << (maxnnz - 1).bit_length() if maxnnz > 1 else 1
+        basis = self.scheme.basis_affine(self.params)[..., :width]
+        out = []
+        for start in range(0, len(sparse_vecs), self.COMMIT_CHUNK):
+            chunk = sparse_vecs[start : start + self.COMMIT_CHUNK]
+            chunk_nnz = nnz[start : start + self.COMMIT_CHUNK]
+            b = len(chunk)
+            # same fixed-vs-small shape policy as the dense path
+            if b > 256:
+                padded = self.COMMIT_CHUNK
+            else:
+                padded = 1 << (b - 1).bit_length() if b > 1 else 1
+            idx = np.zeros((padded, t), dtype=np.int32)
+            scal_ints = [0] * (padded * t)
+            for bi in range(b):
+                ix = chunk_nnz[bi]
+                idx[bi, : len(ix)] = ix
+                d = chunk[bi]
+                base_off = bi * t
+                for col, j in enumerate(ix):
+                    scal_ints[base_off + col] = d[j] % R
+            scal = jnp.asarray(ints_to_limbs(scal_ints).T)  # (L, padded*t)
+            pts = _sparse_commit_device(basis, jnp.asarray(idx.reshape(-1)), scal, t)
+            out.extend(dc.projective_to_host_points(pts)[:b])
+        return out
+
     # -- node vector layouts (shared by committing and proving) ---------------
 
-    def _ext_leaf_vectors(self, node: ExtensionNode):
-        """(c1, c2) int vectors per ``node.rs:226-241``."""
+    def _ext_leaf_dicts(self, node: ExtensionNode):
+        """(c1, c2) SPARSE {slot: value} dicts per ``node.rs:226-241``."""
         w = self.ext_width
         half = w // 2
-        c1, c2 = [0] * w, [0] * w
+        c1, c2 = {}, {}
         for unit, value in node.leaves.items():
             low, high = _split_value(value)
             lo_idx, hi_idx = (2 * unit) % w, (2 * unit + 1) % w
@@ -258,6 +334,17 @@ class VerkleTree:
             target[lo_idx] = low
             target[hi_idx] = high
         return c1, c2
+
+    def _ext_leaf_vectors(self, node: ExtensionNode):
+        """Dense (c1, c2) views (multiproof data vectors)."""
+        w = self.ext_width
+        out = []
+        for d in self._ext_leaf_dicts(node):
+            vec = [0] * w
+            for j, v in d.items():
+                vec[j] = v
+            out.append(vec)
+        return out
 
     def _ext_data_vector(self, node: ExtensionNode):
         """[1, stem, c1_item, c2_item] (``node.rs:246-253``); requires the
@@ -279,20 +366,28 @@ class VerkleTree:
     def _commit_extensions(self, nodes):
         c_vectors = []
         for n in nodes:
-            c1, c2 = self._ext_leaf_vectors(n)
+            c1, c2 = self._ext_leaf_dicts(n)
             c_vectors.append(c1)
             c_vectors.append(c2)
 
-        c_points = self._batched_commit(c_vectors)
+        c_points = self._batched_commit(c_vectors, self.ext_width)
         for i, n in enumerate(nodes):
             n.c1_commit, n.c2_commit = c_points[2 * i], c_points[2 * i + 1]
 
-        ext_points = self._batched_commit([self._ext_data_vector(n) for n in nodes])
+        ext_points = self._batched_commit(
+            [dict(enumerate(self._ext_data_vector(n))) for n in nodes], 4
+        )
         for n, pt in zip(nodes, ext_points):
             n.commit = pt
 
     def _commit_internals(self, nodes):
-        points = self._batched_commit([self._internal_vector(n) for n in nodes])
+        points = self._batched_commit(
+            [
+                {u: g1_to_data_item(ch.commit) for u, ch in n.children.items()}
+                for n in nodes
+            ],
+            self.internal_width,
+        )
         for n, pt in zip(nodes, points):
             n.commit = pt
 
