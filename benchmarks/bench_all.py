@@ -57,6 +57,7 @@ def bench_kzg():
     emit("kzg_commit_sec", t_wall(lambda: KZG.commit(crs, data)), "s", n=n)
     p = KZG.prove(crs, c, 3, data)
     emit("kzg_prove_sec", t_wall(lambda: KZG.prove(crs, c, 3, data)), "s", n=n)
+    KZG.verify(crs, c, 3, p)  # warm (compile) before timing
     emit("kzg_verify_sec", t_wall(lambda: KZG.verify(crs, c, 3, p), reps=1), "s", n=n)
     return crs
 
@@ -73,6 +74,7 @@ def bench_ipa():
     emit("ipa_commit_sec", t_wall(lambda: IPA.commit(crs, data)), "s", n=n)
     pr = IPA.prove(crs, c, 3, data)
     emit("ipa_prove_sec", t_wall(lambda: IPA.prove(crs, c, 3, data)), "s", n=n)
+    IPA.verify(crs, c, 3, pr)  # warm (compile) before timing
     emit("ipa_verify_sec", t_wall(lambda: IPA.verify(crs, c, 3, pr)), "s", n=n)
     return crs, data, c
 

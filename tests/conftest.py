@@ -21,9 +21,12 @@ jax.config.update("jax_platforms", "cpu")
 # caching makes re-runs compile-free.
 import pathlib
 
+# CPU-only cache, SEPARATE from the TPU/tunnel processes' .jax_cache:
+# entries written by axon-connected processes carry mismatched CPU feature
+# flags and sporadically segfault the AOT loader when tests re-load them.
 jax.config.update(
     "jax_compilation_cache_dir",
-    str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"),
+    str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache_cpu"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -190,22 +190,30 @@ def msm_pippenger(
         )
         scalars = jnp.concatenate([scalars, jnp.zeros((L, pp), jnp.uint32)], axis=-1)
 
-    digits = window_digits(scalars, c)  # (W, padded)
-    digits = digits.reshape(w, steps, lanes).astype(jnp.int32)
     pts = points_affine.reshape(2, L, steps, lanes)
 
     mode = _pallas_mode()
     if mode != "off":
-        # Two fused kernels for the whole MSM: bucket accumulation with the
-        # table in VMEM scratch + in-kernel lane fold, then bucket suffix
-        # scans + Horner with the bucket axis riding the lanes. Returns the
-        # same group element as the XLA path (canonical affine), though the
-        # projective representative differs (identity-adds are masked in
-        # XLA but computed through the complete formulas here).
+        # Fully fused pipeline (pallas_msm): bucket accumulation with
+        # VMEM-resident tables, lane fold, suffix scans + Horner. Returns
+        # the same group element as the XLA path (canonical affine), though
+        # the projective representative differs (identity-adds are masked
+        # in XLA but computed through the complete formulas here).
+        pts_stream = jnp.moveaxis(pts, 2, 0)
+        if 16 % c == 0:
+            # digits extracted in-kernel from the scalar limbs
+            sc_stream = jnp.moveaxis(scalars.reshape(L, steps, lanes), 1, 0)
+            return PM.msm_single_fused_sc(
+                pts_stream, sc_stream, c, interpret=(mode == "interpret")
+            )
+        digits = window_digits(scalars, c)
+        digits = digits.reshape(w, steps, lanes).astype(jnp.int32)
         return PM.msm_single_fused(
-            jnp.moveaxis(pts, 2, 0), digits, c, interpret=(mode == "interpret")
+            pts_stream, digits, c, interpret=(mode == "interpret")
         )
     else:
+        digits = window_digits(scalars, c)  # (W, padded)
+        digits = digits.reshape(w, steps, lanes).astype(jnp.int32)
         buckets0 = C.infinity((w, nbuckets), lanes)  # (W, 2^c, 3, L, lanes)
 
         def step(s, buckets):

@@ -138,6 +138,109 @@ def _accum_kernel(digits_ref, pts_ref, out_ref, *, nbuckets: int, chunk: int):
             out_ref[0, b : b + blk] = k_point_reduce(out_ref[0, b : b + blk])
 
 
+def _accum_kernel_sc(sc_ref, pts_ref, out_ref, *, c: int, nbuckets: int, chunk: int):
+    """Like _accum_kernel but digits are extracted IN-KERNEL from the
+    streamed standard-form scalar limbs (sc_ref: (CH, L, BB) uint32):
+    window w's digit is c bits at offset w*c of the 256-bit scalar. Only
+    for c dividing 16 (the digit then lives inside one 16-bit limb), which
+    covers the tuned configs; skips the (W, S, B) digit tensor entirely
+    (134 MB of HBM traffic + an XLA pass at 2^20)."""
+    w_id = pl.program_id(0)
+    s_chunk = pl.program_id(2)
+    bsz = out_ref.shape[-1]
+    limb = (w_id * c) // 16
+    shift = (w_id * c) % 16
+    dmask = jnp.uint32((1 << c) - 1)
+
+    @pl.when(s_chunk == 0)
+    def _init():
+        zero = jnp.zeros((L, bsz), jnp.uint32)
+        one = jnp.broadcast_to(_one_mont_rows("fq"), (L, bsz))
+        inf = jnp.stack([zero, one, zero], axis=0)
+        out_ref[0] = jnp.broadcast_to(inf[None], (nbuckets, 3, L, bsz))
+
+    def step(i, _):
+        row = sc_ref[i, limb]  # (BB,) scalar limb holding this window
+        d = ((row >> shift) & dmask).astype(jnp.int32)
+        p = pts_ref[i]
+        _gather_scatter_step(out_ref, 0, d, p, nbuckets, bsz)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0)
+
+    @pl.when(s_chunk == pl.num_programs(2) - 1)
+    def _normalize():
+        blk = min(16, nbuckets)
+        for b in range(0, nbuckets, blk):
+            out_ref[0, b : b + blk] = k_point_reduce(out_ref[0, b : b + blk])
+
+
+@functools.partial(jax.jit, static_argnames=("c", "chunk", "interpret"))
+def bucket_accumulate_from_scalars(
+    pts_stream: jnp.ndarray,
+    sc_stream: jnp.ndarray,
+    c: int,
+    chunk: int = DEFAULT_CHUNK // 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(S, 2, L, B) points x (S, L, B) STANDARD-form scalars ->
+    (W, 2^c, 3, L, B) buckets, digits extracted in-kernel (c | 16).
+    Default chunk is halved vs the digit-tensor variant: the extra
+    double-buffered scalar block must fit the same VMEM budget."""
+    assert 16 % c == 0, "in-kernel digits need c dividing the limb width"
+    s, _, _, b = pts_stream.shape
+    nbuckets = 1 << c
+    w = 256 // c
+    chunk = min(chunk, s)
+    nchunks = -(-s // chunk)
+    pad = nchunks * chunk - s
+    if pad:
+        pts_stream = jnp.concatenate(
+            [pts_stream, jnp.zeros((pad, 2, L, b), jnp.uint32)], axis=0
+        )
+        sc_stream = jnp.concatenate(
+            [sc_stream, jnp.zeros((pad, L, b), jnp.uint32)], axis=0
+        )
+    bb = min(128, b)
+    nbb = -(-b // bb)
+    bpad = nbb * bb - b
+    if bpad:
+        pts_stream = jnp.concatenate(
+            [pts_stream, jnp.zeros(pts_stream.shape[:-1] + (bpad,), jnp.uint32)],
+            axis=-1,
+        )
+        sc_stream = jnp.concatenate(
+            [sc_stream, jnp.zeros(sc_stream.shape[:-1] + (bpad,), jnp.uint32)],
+            axis=-1,
+        )
+
+    kern = functools.partial(_accum_kernel_sc, c=c, nbuckets=nbuckets, chunk=chunk)
+    out = pl.pallas_call(
+        kern,
+        grid=(w, nbb, nchunks),
+        in_specs=[
+            pl.BlockSpec(
+                (chunk, L, bb), lambda i, k, j: (j, 0, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, 2, L, bb),
+                lambda i, k, j: (j, 0, 0, k),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nbuckets, 3, L, bb),
+            lambda i, k, j: (i, 0, 0, 0, k),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (w, nbuckets, 3, L, nbb * bb), jnp.uint32
+        ),
+        interpret=interpret,
+    )(sc_stream, pts_stream)
+    return out[..., :b]
+
+
 @functools.partial(
     jax.jit, static_argnames=("c", "chunk", "interpret")
 )
@@ -271,34 +374,11 @@ def _suffix_horner_kernel(
         out_ref[...] = k_point_reduce(out_ref[...])
 
 
-@functools.partial(jax.jit, static_argnames=("c", "chunk", "interpret"))
-def msm_single_fused(
-    pts_stream: jnp.ndarray,
-    digits: jnp.ndarray,
-    c: int,
-    chunk: int = DEFAULT_CHUNK,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Complete single-MSM pipeline: (S, 2, L, B) points x (W, S, B) digits
-    -> one point (3, L, 1), same group element as msm_pippenger's XLA path
-    (identical canonical affine; the projective representative differs
-    because identity-adds are masked in XLA but computed through the
-    complete formulas here).
-
-    Three fused stages: (1) bucket accumulation (bucket tables VMEM-
-    resident); (2) lane fold — the bucket axis is transposed into the LANE
-    axis first (XLA transpose, ~1 ms), so the fold is a leading-axis
-    halving with perfectly shaped (3, L, 2^c) pallas blocks; (3) one
-    suffix-scan + Horner kernel whose sequential grid carries the running
-    accumulator."""
+def _single_tail(buckets, c: int, w: int, interpret: bool):
+    """Lane fold + suffix-scan/Horner tail of the single-MSM pipeline."""
     from . import pallas_curve as PC
 
-    w, s, b = digits.shape
-    assert b & (b - 1) == 0, "lane count must be a power of two"
     nbuckets = 1 << c
-
-    buckets = bucket_accumulate(pts_stream, digits, c, chunk, interpret)
-
     # (W, 2^c, 3, L, B) -> (W, B, 3, L, 2^c): bucket index into lanes
     t = jnp.transpose(buckets, (0, 4, 2, 3, 1))
     while t.shape[1] > 1:
@@ -341,67 +421,40 @@ def msm_single_fused(
     )(ws)
 
 
-def _suffix_horner_batched_kernel(
-    ws_ref, out_ref, *, c: int, nbuckets: int, w_total: int, lanes_total: int
-):
-    """Batched variant: grid (B, W); cell (b, i) processes window W-1-i of
-    batch element b, carrying b's Horner accumulator in its out block."""
-    i = pl.program_id(1)
-    s_w = _window_sum(ws_ref[0, 0], nbuckets, lanes_total)
-
-    @pl.when(i == 0)
-    def _first():
-        out_ref[0] = s_w
-
-    @pl.when(i > 0)
-    def _next():
-        acc = out_ref[0]
-        acc = jax.lax.fori_loop(0, c, lambda _, a: k_point_double_lazy(a), acc)
-        out_ref[0] = k_point_add_lazy(acc, s_w)
-
-    @pl.when(i == w_total - 1)
-    def _canonical():
-        out_ref[0] = k_point_reduce(out_ref[0])
-
-
-@functools.partial(jax.jit, static_argnames=("c", "interpret"))
-def batched_bucket_tail(
-    buckets: jnp.ndarray, c: int, interpret: bool = False
+@functools.partial(jax.jit, static_argnames=("c", "chunk", "interpret"))
+def msm_single_fused(
+    pts_stream: jnp.ndarray,
+    digits: jnp.ndarray,
+    c: int,
+    chunk: int = DEFAULT_CHUNK,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """(W, 2^c, 3, L, B) per-lane buckets -> (3, L, B) batch results:
-    per-lane weighted bucket sums + Horner, one kernel. The pallas-side
-    replacement for the XLA suffix scans of the BATCHED MSM path (each
-    lane is an independent MSM, so there is no lane fold)."""
-    w, nbuckets, _, _, b = buckets.shape
-    lanes_total = max(nbuckets, 128)
-    # (W, 2^c, 3, L, B) -> (B, W, 3, L, 2^c): bucket axis into lanes
-    ws = jnp.transpose(buckets, (4, 0, 2, 3, 1))
-    if lanes_total != nbuckets:
-        ws = jnp.concatenate(
-            [ws, jnp.zeros(ws.shape[:-1] + (lanes_total - nbuckets,), jnp.uint32)],
-            axis=-1,
-        )
-    kern = functools.partial(
-        _suffix_horner_batched_kernel,
-        c=c,
-        nbuckets=nbuckets,
-        w_total=w,
-        lanes_total=lanes_total,
+    """Complete single-MSM pipeline: (S, 2, L, B) points x (W, S, B) digits
+    -> one point (3, L, 1), same group element as msm_pippenger's XLA path
+    (identical canonical affine; the projective representative differs
+    because identity-adds are masked in XLA but computed through the
+    complete formulas here)."""
+    w, s, b = digits.shape
+    assert b & (b - 1) == 0, "lane count must be a power of two"
+    buckets = bucket_accumulate(pts_stream, digits, c, chunk, interpret)
+    return _single_tail(buckets, c, w, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "chunk", "interpret"))
+def msm_single_fused_sc(
+    pts_stream: jnp.ndarray,
+    sc_stream: jnp.ndarray,
+    c: int,
+    chunk: int = DEFAULT_CHUNK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """msm_single_fused with IN-KERNEL digit extraction from standard-form
+    scalar limbs ((S, L, B) stream; c must divide 16): skips the digit
+    tensor's XLA pass and HBM round trip entirely."""
+    b = pts_stream.shape[-1]
+    assert b & (b - 1) == 0, "lane count must be a power of two"
+    w = 256 // c
+    buckets = bucket_accumulate_from_scalars(
+        pts_stream, sc_stream, c, min(chunk, DEFAULT_CHUNK // 2), interpret
     )
-    out = pl.pallas_call(
-        kern,
-        grid=(b, w),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, 3, L, lanes_total),
-                lambda bb, i, w_=w: (bb, w_ - 1 - i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 3, L, 1), lambda bb, i: (bb, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, 3, L, 1), jnp.uint32),
-        interpret=interpret,
-    )(ws)
-    return jnp.moveaxis(out[..., 0], 0, -1)  # (3, L, B)
+    return _single_tail(buckets, c, w, interpret)
