@@ -98,6 +98,35 @@ def test_bucket_accumulate_matches_xla_loop():
     assert jnp.all(got == want)
 
 
+def test_msm_batched_pallas_branch(monkeypatch):
+    """Drives msm_batched + msm_fixed_base through the FULL pallas branch
+    (bucket_accumulate + batched_bucket_tail) in interpret mode — the
+    production verkle node-commit path on TPU — against the XLA path.
+    Compares canonical affine (the projective representative legitimately
+    differs: XLA masks identity-adds, pallas runs complete formulas)."""
+    rng = random.Random(55)
+    n, b = 64, 4
+    affs, scals = [], []
+    for i in range(b):
+        _, aff = _point_batch(n, 100 + i)
+        affs.append(aff)
+        ints = [rng.getrandbits(254) % R for _ in range(n)]
+        ints[i] = 0  # a zero scalar per lane exercises bucket 0
+        scals.append(jnp.asarray(ints_to_limbs(ints).T))
+    pts = jnp.stack(affs)  # (B, 2, L, N)
+    scs = jnp.stack(scals)  # (B, L, N)
+
+    monkeypatch.setattr(msm, "_pallas_mode", lambda: "off")
+    want_b = C.projective_to_host_points(msm.msm_batched(pts, scs, c=4))
+    want_f = C.projective_to_host_points(msm.msm_fixed_base(pts[0], scs, c=4))
+
+    monkeypatch.setattr(msm, "_pallas_mode", lambda: "interpret")
+    got_b = C.projective_to_host_points(msm.msm_batched(pts, scs, c=4))
+    got_f = C.projective_to_host_points(msm.msm_fixed_base(pts[0], scs, c=4))
+    assert got_b == want_b
+    assert got_f == want_f
+
+
 def test_msm_pippenger_pallas_vs_host_oracle(monkeypatch):
     monkeypatch.setattr(msm, "_pallas_mode", lambda: "interpret")
     rng = random.Random(44)

@@ -115,6 +115,23 @@ def msm_naive(points_proj: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
     return fold_reduce_lanes(C.scalar_mul(points_proj, scalars))
 
 
+def _msm_auto_impl(
+    points_affine: jnp.ndarray,
+    scalars: jnp.ndarray,
+    c: int | None = None,
+    lanes: int = 128,
+) -> jnp.ndarray:
+    """msm_auto without metrics: safe to close over inside shard_map/jit
+    traces (a metrics.record reached there would fire once per compile, not
+    per execution — see utils/metrics.py)."""
+    n = points_affine.shape[-1]
+    if n < 64:
+        return fold_reduce_lanes(C.scalar_mul(C.from_affine(points_affine), scalars))
+    if c is None:
+        c = min(8, max(4, n.bit_length() - 1))
+    return msm_pippenger(points_affine, scalars, c=c, lanes=lanes)
+
+
 def msm_auto(
     points_affine: jnp.ndarray,
     scalars: jnp.ndarray,
@@ -124,14 +141,9 @@ def msm_auto(
     """Size-adaptive MSM: naive double-and-add for small N (the bucket
     machinery costs ~W * 2^c slots regardless of N), Pippenger with
     c ~ log2(N) otherwise. (2, L, N) x (L, N) -> (3, L, 1)."""
-    n = points_affine.shape[-1]
     metrics.record("msm.single.calls")
-    metrics.record("msm.single.points", n)
-    if n < 64:
-        return fold_reduce_lanes(C.scalar_mul(C.from_affine(points_affine), scalars))
-    if c is None:
-        c = min(8, max(4, n.bit_length() - 1))
-    return msm_pippenger(points_affine, scalars, c=c, lanes=lanes)
+    metrics.record("msm.single.points", points_affine.shape[-1])
+    return _msm_auto_impl(points_affine, scalars, c=c, lanes=lanes)
 
 
 def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -176,7 +188,11 @@ def msm_pippenger(
     ``lanes``: accumulation lanes (VPU width multiplier)."""
     n = points_affine.shape[-1]
     # the fused pallas pipeline wants a power-of-two lane count (lane-fold
-    # halvings); padding fills the tail with zero scalars (bucket 0)
+    # halvings); round a caller-supplied lane count DOWN to one (a non-pow2
+    # value, e.g. via BENCH_LANES, would otherwise only trip the pallas
+    # path's trace-time assert on TPU), then cap by the padded stream width.
+    # padding fills the tail with zero scalars (bucket 0).
+    lanes = 1 << max(0, lanes.bit_length() - 1)
     lanes = min(lanes, 1 << (n - 1).bit_length()) if n > 1 else 1
     nbuckets = 1 << c
     w = math.ceil(TOTAL_BITS / c)
@@ -255,10 +271,15 @@ def _msm_lanewise(pts_stream, digits, nbuckets: int, c: int) -> jnp.ndarray:
             pts_stream, digits.astype(jnp.int32), c,
             interpret=(mode == "interpret"),
         )
-        # batched tail (per-lane weighted sums + Horner) in pallas too:
-        # the XLA suffix scans over (W, 2^c-1, 3, L, B) arrays dominate
-        # verkle commit passes otherwise
-        return PM.batched_bucket_tail(buckets, c, interpret=(mode == "interpret"))
+        if c <= 6:
+            # batched tail (per-lane weighted sums + Horner) in pallas too:
+            # the XLA suffix scans over (W, 2^c-1, 3, L, B) arrays dominate
+            # verkle commit passes otherwise. c > 6 would blow the tail
+            # kernel's VMEM budget (2^c x 3 x L x 128 working copies) —
+            # those configs fall through to the XLA tail below.
+            return PM.batched_bucket_tail(
+                buckets, c, interpret=(mode == "interpret")
+            )
     else:
         buckets0 = C.infinity((w, nbuckets), b)  # (W, 2^c, 3, L, B)
 
@@ -301,6 +322,22 @@ def _auto_c_batched(n: int, c: int | None) -> int:
     return c if c is not None else min(6, max(2, (n.bit_length() - 1) // 2 + 1))
 
 
+def _msm_batched_impl(
+    points_affine: jnp.ndarray,
+    scalars: jnp.ndarray,
+    c: int | None = None,
+) -> jnp.ndarray:
+    """msm_batched without metrics (shard_map/jit-trace safe)."""
+    bsz, _, _, n = points_affine.shape
+    if n < 64:
+        return _batched_naive(C.from_affine(points_affine), scalars)
+    c = _auto_c_batched(n, c)
+    pts_stream = jnp.moveaxis(points_affine, (0, 3), (3, 0))  # (N, 2, L, B)
+    digits = window_digits(scalars, c)  # (W, B, N)
+    digits = jnp.moveaxis(digits, -1, 1)  # (W, N, B)
+    return _msm_lanewise(pts_stream, digits, 1 << c, c)
+
+
 def msm_batched(
     points_affine: jnp.ndarray,
     scalars: jnp.ndarray,
@@ -314,12 +351,27 @@ def msm_batched(
     bsz, _, _, n = points_affine.shape
     metrics.record("msm.batched.calls")
     metrics.record("msm.batched.points", bsz * n)
+    return _msm_batched_impl(points_affine, scalars, c=c)
+
+
+def _msm_fixed_base_impl(
+    points_affine: jnp.ndarray,
+    scalars: jnp.ndarray,
+    c: int | None = None,
+) -> jnp.ndarray:
+    """msm_fixed_base without metrics (shard_map/jit-trace safe)."""
+    b = scalars.shape[0]
+    n = points_affine.shape[-1]
     if n < 64:
-        return _batched_naive(C.from_affine(points_affine), scalars)
+        pts = jnp.broadcast_to(
+            C.from_affine(points_affine)[None], (b, 3, L, n)
+        )
+        return _batched_naive(pts, scalars)
     c = _auto_c_batched(n, c)
-    pts_stream = jnp.moveaxis(points_affine, (0, 3), (3, 0))  # (N, 2, L, B)
-    digits = window_digits(scalars, c)  # (W, B, N)
-    digits = jnp.moveaxis(digits, -1, 1)  # (W, N, B)
+    pts_stream = jnp.broadcast_to(
+        jnp.moveaxis(points_affine, -1, 0)[..., None], (n, 2, L, b)
+    )
+    digits = jnp.moveaxis(window_digits(scalars, c), -1, 1)  # (W, N, B)
     return _msm_lanewise(pts_stream, digits, 1 << c, c)
 
 
@@ -335,14 +387,4 @@ def msm_fixed_base(
     n = points_affine.shape[-1]
     metrics.record("msm.fixed_base.calls")
     metrics.record("msm.fixed_base.points", b * n)
-    if n < 64:
-        pts = jnp.broadcast_to(
-            C.from_affine(points_affine)[None], (b, 3, L, n)
-        )
-        return _batched_naive(pts, scalars)
-    c = _auto_c_batched(n, c)
-    pts_stream = jnp.broadcast_to(
-        jnp.moveaxis(points_affine, -1, 0)[..., None], (n, 2, L, b)
-    )
-    digits = jnp.moveaxis(window_digits(scalars, c), -1, 1)  # (W, N, B)
-    return _msm_lanewise(pts_stream, digits, 1 << c, c)
+    return _msm_fixed_base_impl(points_affine, scalars, c=c)

@@ -421,6 +421,108 @@ def _single_tail(buckets, c: int, w: int, interpret: bool):
     )(ws)
 
 
+# ---------------------------------------------------------------------------
+# Batched tail: per-lane weighted bucket sums + Horner. Each lane of the
+# (W, 2^c, 3, L, B) bucket array is an INDEPENDENT MSM (the verkle node-commit
+# / fixed-base contract of ops/msm.py::_msm_lanewise), so unlike _single_tail
+# there is no lane fold: the suffix scans run over the LEADING bucket axis
+# (static shifts, leading-axis concat — Mosaic-safe), lanes stay untouched.
+# ---------------------------------------------------------------------------
+
+
+def _batched_tail_kernel(
+    bk_ref, out_ref, *, c: int, nbuckets: int, w_total: int
+):
+    """bk_ref: (1, nbuckets, 3, L, BB) — window W-1-i's buckets for one lane
+    block (canonical domain, bucket 0 = zero-digit collector). out_ref:
+    (3, L, BB), VMEM-resident across the window grid dim (innermost), holds
+    the running Horner accumulator per lane."""
+    i = pl.program_id(1)
+    bb = out_ref.shape[-1]
+
+    zero = jnp.zeros((L, bb), jnp.uint32)
+    one = jnp.broadcast_to(_one_mont_rows("fq"), (L, bb))
+    inf = jnp.stack([zero, one, zero], axis=0)  # (3, L, BB) identity
+
+    def shift_up(v, sh):
+        # v_j <- v_{j+sh}, identity shifted in at the top (leading axis)
+        fill = jnp.broadcast_to(inf[None], (sh, 3, L, bb))
+        return jnp.concatenate([v[sh:], fill], axis=0)
+
+    # drop bucket 0, then sum_b b*B_b = head of a double inclusive suffix
+    # scan (sum of suffix sums); log-depth, static shifts
+    x = shift_up(bk_ref[0], 1)
+    log_steps = (nbuckets - 1).bit_length()
+    for _ in range(2):
+        v = x
+        for k in range(log_steps):
+            v = k_point_add_lazy(v, shift_up(v, 1 << k))
+        x = v
+    s_w = x[0]  # (3, L, BB) weighted window sum (lazy domain)
+
+    @pl.when(i == 0)
+    def _first():
+        out_ref[...] = s_w
+
+    @pl.when(i > 0)
+    def _next():
+        acc = out_ref[...]
+        acc = jax.lax.fori_loop(0, c, lambda _, a: k_point_double_lazy(a), acc)
+        out_ref[...] = k_point_add_lazy(acc, s_w)
+
+    @pl.when(i == w_total - 1)
+    def _canonical():
+        out_ref[...] = k_point_reduce(out_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("c", "interpret"))
+def batched_bucket_tail(
+    buckets: jnp.ndarray, c: int, interpret: bool = False
+) -> jnp.ndarray:
+    """(W, 2^c, 3, L, B) buckets -> (3, L, B): per-lane double-suffix-scan
+    weighted sums + Horner over windows, entirely in VMEM. Same GROUP
+    element per lane as the XLA tail in ops/msm.py::_msm_lanewise (the
+    projective representative may differ: XLA masks identity-adds, this
+    kernel runs them through the complete formulas).
+
+    Lane blocks of <=128 ride a leading grid dim; the window grid dim is
+    innermost so each lane block's Horner accumulator (the output block)
+    stays VMEM-resident across all W windows. VMEM peak ~ a few copies of
+    the (2^c, 3, L, 128) block — fits the 16 MB budget for c <= 6 (the
+    batched path's _auto_c_batched cap; larger c must use the XLA tail)."""
+    w, nbuckets, _, _, b = buckets.shape
+    assert nbuckets == 1 << c
+    bb = min(128, b)
+    nbb = -(-b // bb)
+    bpad = nbb * bb - b
+    if bpad:
+        buckets = jnp.concatenate(
+            [buckets, jnp.zeros(buckets.shape[:-1] + (bpad,), jnp.uint32)],
+            axis=-1,
+        )
+
+    kern = functools.partial(
+        _batched_tail_kernel, c=c, nbuckets=nbuckets, w_total=w
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(nbb, w),
+        in_specs=[
+            pl.BlockSpec(
+                (1, nbuckets, 3, L, bb),
+                lambda k, i, w_=w: (w_ - 1 - i, 0, 0, 0, k),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (3, L, bb), lambda k, i: (0, 0, k), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, L, nbb * bb), jnp.uint32),
+        interpret=interpret,
+    )(buckets)
+    return out[..., :b]
+
+
 @functools.partial(jax.jit, static_argnames=("c", "chunk", "interpret"))
 def msm_single_fused(
     pts_stream: jnp.ndarray,

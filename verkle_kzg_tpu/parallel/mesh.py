@@ -29,6 +29,7 @@ from jax import shard_map
 
 from ..ops import curve as dc
 from ..ops import msm as dmsm
+from ..utils import metrics
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
@@ -49,6 +50,10 @@ def msm_sharded(
     axis = mesh.axis_names[0]
     d = mesh.shape[axis]
     n = points_affine.shape[-1]
+    # counters fire here (eager side): inside the shard_map'd body they
+    # would run once per trace, not per execution
+    metrics.record("msm.sharded.calls")
+    metrics.record("msm.sharded.points", n)
 
     # pad so every shard gets an equal static slice (infinity sentinels)
     per = math.ceil(n / d)
@@ -63,8 +68,9 @@ def msm_sharded(
 
     def local(pts, scs):
         # size-adaptive local MSM: tiny shards take the naive path (cheap
-        # compiles in protocol-layer tests), big shards run Pippenger
-        part = dmsm.msm_auto(pts, scs, c=c, lanes=lanes)  # (3, L, 1)
+        # compiles in protocol-layer tests), big shards run Pippenger.
+        # unmetered variant: this body is shard_map-traced.
+        part = dmsm._msm_auto_impl(pts, scs, c=c, lanes=lanes)  # (3, L, 1)
         parts = jax.lax.all_gather(part, axis)  # (D, 3, L, 1)
         return dmsm.tree_reduce_points(parts, axis=0)
 
@@ -92,6 +98,8 @@ def msm_batched_sharded(
     axis = mesh.axis_names[0]
     d = mesh.shape[axis]
     b = points_affine.shape[0]
+    metrics.record("msm.batched_sharded.calls")
+    metrics.record("msm.batched_sharded.points", b * points_affine.shape[-1])
     per = math.ceil(b / d)
     padded = per * d
     if padded != b:
@@ -105,7 +113,7 @@ def msm_batched_sharded(
         )
 
     fn = shard_map(
-        functools.partial(dmsm.msm_batched, c=c),
+        functools.partial(dmsm._msm_batched_impl, c=c),
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=P(None, None, axis),  # result batch rides the lane axis
@@ -131,6 +139,8 @@ def msm_fixed_base_sharded(
     axis = mesh.axis_names[0]
     d = mesh.shape[axis]
     b = scalars.shape[0]
+    metrics.record("msm.fixed_base_sharded.calls")
+    metrics.record("msm.fixed_base_sharded.points", b * points_affine.shape[-1])
     per = math.ceil(b / d)
     padded = per * d
     if padded != b:
@@ -140,7 +150,7 @@ def msm_fixed_base_sharded(
         )
 
     fn = shard_map(
-        functools.partial(dmsm.msm_fixed_base, c=c),
+        functools.partial(dmsm._msm_fixed_base_impl, c=c),
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=P(None, None, axis),

@@ -579,11 +579,15 @@ class VerkleVerifier:
             seen.add(dedup_key)
             queries.append((commit, z, y))
 
+        # protocol-level validation of attacker-supplied proofs must raise
+        # typed errors, not assert (asserts vanish under python -O)
         for key in sorted(tuple(k) for k in keys):
-            assert len(key) == self.key_len
+            if len(key) != self.key_len:
+                raise NodeError(f"key length {len(key)} != {self.key_len}")
             stem, unit = key, key[-1]  # full key as stem (reference quirk)
             depth = proof.depths[key]
-            assert depth >= 1
+            if depth < 1:
+                raise NodeError(f"invalid proof depth {depth}")
             parent = root_commitment
             for d in range(depth):
                 prefix = stem[: d + 1]
@@ -617,5 +621,6 @@ class VerkleVerifier:
             add(c_commit, hi_idx, high, (ext_prefix, "c", in_c1, hi_idx))
 
         # the whole stream must be consumed (no smuggled extras)
-        assert next(stream, None) is None
+        if next(stream, None) is not None:
+            raise NodeError("proof commitment stream not fully consumed")
         return queries
