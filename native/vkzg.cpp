@@ -427,6 +427,306 @@ static void digest(const std::uint8_t *msg, std::size_t len,
 }  // namespace sha256
 
 // ---------------------------------------------------------------------------
+// BN254 tower fields Fq2 / Fq6 / Fq12 and the optimal-ate pairing.
+//
+// Structurally mirrors hostmath/{field,pairing}.py (the vector-checked
+// python oracle) so results are identical by construction; the only
+// algorithmic differences are (a) tower inversion formulas instead of
+// Fermat pow for the per-line inverses, and (b) Montgomery u64x4 limbs.
+// Used by KZG verify (kzg/mod.rs:182-186 calls arkworks' pairing; this is
+// the framework's native equivalent — two pairings per verify, host-side).
+// ---------------------------------------------------------------------------
+
+struct Fq2 {
+  U256 c0, c1;  // c0 + c1*u, u^2 = -1; Montgomery form
+};
+
+static inline Fq2 fq2_zero() { return Fq2{u256_zero(), u256_zero()}; }
+static inline Fq2 fq2_one() { return Fq2{FQ.one, u256_zero()}; }
+static inline bool fq2_is_zero(const Fq2 &a) {
+  return u256_is_zero(a.c0) && u256_is_zero(a.c1);
+}
+static inline bool fq2_eq(const Fq2 &a, const Fq2 &b) {
+  return u256_eq(a.c0, b.c0) && u256_eq(a.c1, b.c1);
+}
+static inline Fq2 fq2_add(const Fq2 &a, const Fq2 &b) {
+  return Fq2{f_add(FQ, a.c0, b.c0), f_add(FQ, a.c1, b.c1)};
+}
+static inline Fq2 fq2_sub(const Fq2 &a, const Fq2 &b) {
+  return Fq2{f_sub(FQ, a.c0, b.c0), f_sub(FQ, a.c1, b.c1)};
+}
+static inline Fq2 fq2_neg(const Fq2 &a) {
+  return Fq2{f_neg(FQ, a.c0), f_neg(FQ, a.c1)};
+}
+static inline Fq2 fq2_mul(const Fq2 &a, const Fq2 &b) {
+  // Karatsuba: (a0b0 - a1b1) + ((a0+a1)(b0+b1) - a0b0 - a1b1) u
+  U256 t0 = f_mul(FQ, a.c0, b.c0);
+  U256 t1 = f_mul(FQ, a.c1, b.c1);
+  U256 s = f_mul(FQ, f_add(FQ, a.c0, a.c1), f_add(FQ, b.c0, b.c1));
+  return Fq2{f_sub(FQ, t0, t1), f_sub(FQ, f_sub(FQ, s, t0), t1)};
+}
+static inline Fq2 fq2_sq(const Fq2 &a) {
+  // complex squaring: (a0+a1)(a0-a1) + (2 a0 a1) u
+  U256 t = f_mul(FQ, a.c0, a.c1);
+  return Fq2{f_mul(FQ, f_add(FQ, a.c0, a.c1), f_sub(FQ, a.c0, a.c1)),
+             f_add(FQ, t, t)};
+}
+static inline Fq2 fq2_conj(const Fq2 &a) { return Fq2{a.c0, f_neg(FQ, a.c1)}; }
+// pow by wide little-endian u64 exponent (used once at init for the
+// Frobenius gamma constants)
+static Fq2 fq2_pow(const Fq2 &a, const u64 *e, int nwords) {
+  Fq2 acc = fq2_one(), base = a;
+  for (int w = 0; w < nwords; ++w)
+    for (int b = 0; b < 64; ++b) {
+      if ((e[w] >> b) & 1) acc = fq2_mul(acc, base);
+      base = fq2_sq(base);
+    }
+  return acc;
+}
+// multiply by xi = 9 + u: (9a0 - a1) + (9a1 + a0) u
+static inline Fq2 fq2_mul_xi(const Fq2 &a) {
+  U256 a0x8 = f_add(FQ, a.c0, a.c0);
+  a0x8 = f_add(FQ, a0x8, a0x8);
+  a0x8 = f_add(FQ, a0x8, a0x8);
+  U256 nine_a0 = f_add(FQ, a0x8, a.c0);
+  U256 a1x8 = f_add(FQ, a.c1, a.c1);
+  a1x8 = f_add(FQ, a1x8, a1x8);
+  a1x8 = f_add(FQ, a1x8, a1x8);
+  U256 nine_a1 = f_add(FQ, a1x8, a.c1);
+  return Fq2{f_sub(FQ, nine_a0, a.c1), f_add(FQ, nine_a1, a.c0)};
+}
+static inline Fq2 fq2_inv(const Fq2 &a) {
+  // 1/(a + bu) = (a - bu) / (a^2 + b^2)
+  U256 norm = f_add(FQ, f_sq(FQ, a.c0), f_sq(FQ, a.c1));
+  U256 n = f_inv(FQ, norm);
+  return Fq2{f_mul(FQ, a.c0, n), f_neg(FQ, f_mul(FQ, a.c1, n))};
+}
+
+struct Fq6 {
+  Fq2 c0, c1, c2;  // c0 + c1*v + c2*v^2, v^3 = xi
+};
+
+static inline Fq6 fq6_zero() { return Fq6{fq2_zero(), fq2_zero(), fq2_zero()}; }
+static inline Fq6 fq6_one() { return Fq6{fq2_one(), fq2_zero(), fq2_zero()}; }
+static inline bool fq6_eq(const Fq6 &a, const Fq6 &b) {
+  return fq2_eq(a.c0, b.c0) && fq2_eq(a.c1, b.c1) && fq2_eq(a.c2, b.c2);
+}
+static inline Fq6 fq6_add(const Fq6 &a, const Fq6 &b) {
+  return Fq6{fq2_add(a.c0, b.c0), fq2_add(a.c1, b.c1), fq2_add(a.c2, b.c2)};
+}
+static inline Fq6 fq6_sub(const Fq6 &a, const Fq6 &b) {
+  return Fq6{fq2_sub(a.c0, b.c0), fq2_sub(a.c1, b.c1), fq2_sub(a.c2, b.c2)};
+}
+static inline Fq6 fq6_neg(const Fq6 &a) {
+  return Fq6{fq2_neg(a.c0), fq2_neg(a.c1), fq2_neg(a.c2)};
+}
+static Fq6 fq6_mul(const Fq6 &a, const Fq6 &b) {
+  // Karatsuba-3 with xi wrap (same formulas as hostmath Fq6.__mul__)
+  Fq2 t0 = fq2_mul(a.c0, b.c0);
+  Fq2 t1 = fq2_mul(a.c1, b.c1);
+  Fq2 t2 = fq2_mul(a.c2, b.c2);
+  Fq2 s12 = fq2_mul(fq2_add(a.c1, a.c2), fq2_add(b.c1, b.c2));
+  Fq2 c0 = fq2_add(t0, fq2_mul_xi(fq2_sub(fq2_sub(s12, t1), t2)));
+  Fq2 s01 = fq2_mul(fq2_add(a.c0, a.c1), fq2_add(b.c0, b.c1));
+  Fq2 c1 = fq2_add(fq2_sub(fq2_sub(s01, t0), t1), fq2_mul_xi(t2));
+  Fq2 s02 = fq2_mul(fq2_add(a.c0, a.c2), fq2_add(b.c0, b.c2));
+  Fq2 c2 = fq2_add(fq2_sub(fq2_sub(s02, t0), t2), t1);
+  return Fq6{c0, c1, c2};
+}
+// multiply by v (shift with xi wrap)
+static inline Fq6 fq6_mul_by_v(const Fq6 &a) {
+  return Fq6{fq2_mul_xi(a.c2), a.c0, a.c1};
+}
+static Fq6 fq6_inv(const Fq6 &a) {
+  Fq2 t0 = fq2_sub(fq2_sq(a.c0), fq2_mul_xi(fq2_mul(a.c1, a.c2)));
+  Fq2 t1 = fq2_sub(fq2_mul_xi(fq2_sq(a.c2)), fq2_mul(a.c0, a.c1));
+  Fq2 t2 = fq2_sub(fq2_sq(a.c1), fq2_mul(a.c0, a.c2));
+  Fq2 norm = fq2_add(fq2_mul(a.c0, t0),
+                     fq2_add(fq2_mul_xi(fq2_mul(a.c2, t1)),
+                             fq2_mul_xi(fq2_mul(a.c1, t2))));
+  Fq2 n = fq2_inv(norm);
+  return Fq6{fq2_mul(t0, n), fq2_mul(t1, n), fq2_mul(t2, n)};
+}
+
+struct Fq12 {
+  Fq6 c0, c1;  // c0 + c1*w, w^2 = v
+};
+
+static inline Fq12 fq12_one() { return Fq12{fq6_one(), fq6_zero()}; }
+static inline bool fq12_eq(const Fq12 &a, const Fq12 &b) {
+  return fq6_eq(a.c0, b.c0) && fq6_eq(a.c1, b.c1);
+}
+static Fq12 fq12_mul(const Fq12 &a, const Fq12 &b) {
+  Fq6 t0 = fq6_mul(a.c0, b.c0);
+  Fq6 t1 = fq6_mul(a.c1, b.c1);
+  Fq6 c0 = fq6_add(t0, fq6_mul_by_v(t1));
+  Fq6 s = fq6_mul(fq6_add(a.c0, a.c1), fq6_add(b.c0, b.c1));
+  Fq6 c1 = fq6_sub(fq6_sub(s, t0), t1);
+  return Fq12{c0, c1};
+}
+static inline Fq12 fq12_sq(const Fq12 &a) {
+  // complex squaring over Fq6: c0' = (c0+c1)(c0+v*c1) - t - v*t, c1' = 2t
+  Fq6 t = fq6_mul(a.c0, a.c1);
+  Fq6 s = fq6_mul(fq6_add(a.c0, a.c1), fq6_add(a.c0, fq6_mul_by_v(a.c1)));
+  Fq6 c0 = fq6_sub(fq6_sub(s, t), fq6_mul_by_v(t));
+  return Fq12{c0, fq6_add(t, t)};
+}
+static inline Fq12 fq12_conj(const Fq12 &a) { return Fq12{a.c0, fq6_neg(a.c1)}; }
+static Fq12 fq12_inv(const Fq12 &a) {
+  Fq6 norm = fq6_sub(fq6_mul(a.c0, a.c0), fq6_mul_by_v(fq6_mul(a.c1, a.c1)));
+  Fq6 n = fq6_inv(norm);
+  return Fq12{fq6_mul(a.c0, n), fq6_neg(fq6_mul(a.c1, n))};
+}
+static inline Fq12 fq12_sub(const Fq12 &a, const Fq12 &b) {
+  return Fq12{fq6_sub(a.c0, b.c0), fq6_sub(a.c1, b.c1)};
+}
+// pow by a wide little-endian u64 exponent (MSB-first square-and-multiply)
+static Fq12 fq12_pow(const Fq12 &a, const u64 *e, int nwords) {
+  int top = nwords - 1;
+  while (top >= 0 && e[top] == 0) --top;
+  if (top < 0) return fq12_one();
+  int bit = 63;
+  while (!((e[top] >> bit) & 1)) --bit;
+  Fq12 acc = a;
+  for (int w = top; w >= 0; --w) {
+    for (int b = (w == top ? bit - 1 : 63); b >= 0; --b) {
+      acc = fq12_sq(acc);
+      if ((e[w] >> b) & 1) acc = fq12_mul(acc, a);
+    }
+  }
+  return acc;
+}
+
+// pairing exponents (see docs: generated from params.py Q/R)
+static const u64 EXP_Q[4] = {0x3c208c16d87cfd47ULL, 0x97816a916871ca8dULL,
+                             0xb85045b68181585dULL, 0x30644e72e131a029ULL};
+// (q - 1) / 6
+static const u64 EXP_QM1_D6[4] = {0x34b017592414d4e1ULL, 0xee9591c2e6bda1c2ULL,
+                                  0xf40d60f3c0403964ULL, 0x0810b7bdd032f006ULL};
+
+// Frobenius x -> x^q on the tower, coefficient-wise: conjugate each Fq2
+// coefficient and scale by gamma_i = xi^(i*(q-1)/6) for basis element
+// v^(i/2) w^(i%2) (i = lane index 0..5). Computed once at init; validated
+// against the generic pow path by the python bit-exactness tests.
+struct FrobCtx {
+  Fq2 g[6];  // g[i] = xi^(i*(q-1)/6)
+  FrobCtx() {
+    Fq2 xi{fq_small(9), FQ.one};
+    g[0] = fq2_one();
+    g[1] = fq2_pow(xi, EXP_QM1_D6, 4);
+    for (int i = 2; i < 6; ++i) g[i] = fq2_mul(g[i - 1], g[1]);
+  }
+};
+static const FrobCtx FROB;
+
+static inline Fq12 fq12_frobenius(const Fq12 &a) {
+  // lanes: c0 = (b0 + b1 v + b2 v^2), c1 w = (b3 + b4 v + b5 v^2) w
+  // v^q = g2 v, (v^2)^q = g4 v^2, w^q = g1 w, (v w)^q = g3 v w, (v^2 w)^q = g5 v^2 w
+  return Fq12{
+      Fq6{fq2_conj(a.c0.c0), fq2_mul(fq2_conj(a.c0.c1), FROB.g[2]),
+          fq2_mul(fq2_conj(a.c0.c2), FROB.g[4])},
+      Fq6{fq2_mul(fq2_conj(a.c1.c0), FROB.g[1]),
+          fq2_mul(fq2_conj(a.c1.c1), FROB.g[3]),
+          fq2_mul(fq2_conj(a.c1.c2), FROB.g[5])}};
+}
+// Q^2
+static const u64 EXP_Q2[8] = {0x3b5458a2275d69b1ULL, 0xa602072d09eac101ULL,
+                              0x4a50189c6d96cadcULL, 0x04689e957a1242c8ULL,
+                              0x26edfa5c34c6b38dULL, 0xb00b855116375606ULL,
+                              0x599a6f7c0348d21cULL, 0x0925c4b8763cbf9cULL};
+// (Q^4 - Q^2 + 1) / R  (761 bits)
+static const u64 EXP_HARD[12] = {
+    0xe81bb482ccdf42b1ULL, 0x5abf5cc4f49c36d4ULL, 0xf1154e7e1da014fdULL,
+    0xdcc7b44c87cdbacfULL, 0xaaa441e3954bcf8aULL, 0x6b887d56d5095f23ULL,
+    0x79581e16f3fd90c6ULL, 0x3b1b1355d189227dULL, 0x4e529a5861876f6bULL,
+    0x6c0eb522d5b12278ULL, 0x331ec15183177fafULL, 0x01baaa710b0759adULL};
+// ate loop count 6x+2 = 29793968203157093288 (65 bits; top bit implicit)
+static const u64 ATE_LOW = 0x9d797039be763ba8ULL;
+static const int ATE_BITS = 65;
+
+// Point of E(Fq12) in affine coords + infinity flag (mirrors the python
+// (x, y) tuples / None).
+struct E12 {
+  Fq12 x, y;
+  bool inf;
+};
+
+// untwist E'(Fq2) -> E(Fq12): (x, y) -> (v*x at c0.c1, w^3*y at c1.c1)
+static E12 untwist(const Fq2 &x, const Fq2 &y) {
+  E12 r;
+  r.x.c0 = Fq6{fq2_zero(), x, fq2_zero()};
+  r.x.c1 = fq6_zero();
+  r.y.c0 = fq6_zero();
+  r.y.c1 = Fq6{fq2_zero(), y, fq2_zero()};
+  r.inf = false;
+  return r;
+}
+
+static E12 embed_g1(const U256 &x_mont, const U256 &y_mont) {
+  E12 r;
+  r.x = Fq12{Fq6{Fq2{x_mont, u256_zero()}, fq2_zero(), fq2_zero()}, fq6_zero()};
+  r.y = Fq12{Fq6{Fq2{y_mont, u256_zero()}, fq2_zero(), fq2_zero()}, fq6_zero()};
+  r.inf = false;
+  return r;
+}
+
+static E12 frob_point(const E12 &pt) {
+  return E12{fq12_frobenius(pt.x), fq12_frobenius(pt.y), pt.inf};
+}
+
+// one Miller step: line through t and q evaluated at p, AND t <- t + q,
+// sharing the single lambda/inversion both need (line_eval/add_e12 fused;
+// lambda is identical in both, so results are unchanged)
+static Fq12 step_eval(E12 &t, const E12 &q, const E12 &p) {
+  Fq12 lam;
+  if (fq12_eq(t.x, q.x) && fq12_eq(t.y, q.y)) {
+    Fq12 x2 = fq12_sq(t.x);
+    Fq12 three_x2 = fq12_mul(x2, Fq12{Fq6{Fq2{fq_small(3), u256_zero()},
+                                          fq2_zero(), fq2_zero()},
+                                      fq6_zero()});
+    lam = fq12_mul(three_x2, fq12_inv(Fq12{fq6_add(t.y.c0, t.y.c0),
+                                           fq6_add(t.y.c1, t.y.c1)}));
+  } else if (fq12_eq(t.x, q.x)) {
+    Fq12 line = fq12_sub(p.x, t.x);  // vertical
+    t.inf = true;
+    return line;
+  } else {
+    lam = fq12_mul(fq12_sub(q.y, t.y), fq12_inv(fq12_sub(q.x, t.x)));
+  }
+  Fq12 line = fq12_sub(fq12_sub(p.y, t.y), fq12_mul(lam, fq12_sub(p.x, t.x)));
+  Fq12 x3 = fq12_sub(fq12_sub(fq12_sq(lam), t.x), q.x);
+  Fq12 y3 = fq12_sub(fq12_mul(lam, fq12_sub(t.x, x3)), t.y);
+  t = E12{x3, y3, false};
+  return line;
+}
+
+// f_{6x+2,Q}(P) with the two optimal-ate correction lines
+// (hostmath/pairing.py::miller_loop, same bit order: MSB-first, top skipped)
+static Fq12 miller_loop(const E12 &pe, const E12 &qe) {
+  Fq12 f = fq12_one();
+  E12 t = qe;
+  for (int i = ATE_BITS - 2; i >= 0; --i) {
+    f = fq12_mul(fq12_sq(f), step_eval(t, t, pe));
+    int bit = i >= 64 ? 0 : (int)((ATE_LOW >> i) & 1);
+    if (bit) f = fq12_mul(f, step_eval(t, qe, pe));
+  }
+  E12 q1 = frob_point(qe);
+  E12 q2 = frob_point(q1);
+  E12 nq2 = E12{q2.x, fq12_sub(Fq12{fq6_zero(), fq6_zero()}, q2.y), false};
+  f = fq12_mul(f, step_eval(t, q1, pe));
+  f = fq12_mul(f, step_eval(t, nq2, pe));
+  return f;
+}
+
+// f^((q^12-1)/r): easy part by conjugate/inverse + ^(q^2+1), hard part by
+// plain wide pow (hostmath/pairing.py::final_exponentiation)
+static Fq12 final_exponentiation(const Fq12 &f) {
+  Fq12 f1 = fq12_mul(fq12_conj(f), fq12_inv(f));      // ^(q^6 - 1)
+  Fq12 f2 = fq12_mul(fq12_pow(f1, EXP_Q2, 8), f1);    // ^(q^2 + 1)
+  return fq12_pow(f2, EXP_HARD, 12);
+}
+
+// ---------------------------------------------------------------------------
 // C ABI
 // ---------------------------------------------------------------------------
 
@@ -567,6 +867,44 @@ void vkzg_kzg_srs(const std::uint8_t *g_xy, const std::uint8_t *secret,
     G1 r = g1_scalar_mul(g, k);
     g1_to_affine_bytes(r, out_xy + 64 * i);
     pow = f_mul(FR, pow, s);
+  }
+}
+
+// Product of n pairings with one shared final exponentiation
+// (hostmath/pairing.py::multi_pairing; arkworks Pairing::multi_pairing).
+//   g1s:  n * 64 bytes  — affine (x||y) LE, all-zero = infinity (skip pair)
+//   g2s:  n * 128 bytes — affine (x.c0||x.c1||y.c0||y.c1) LE, all-zero = inf
+//   out:  384 bytes — Fq12 standard-form coefficients, 12 * 32-byte LE Fq in
+//         order c0.c0.c0, c0.c0.c1, c0.c1.c0, ..., c1.c2.c1
+void vkzg_multi_pairing(const std::uint8_t *g1s, const std::uint8_t *g2s,
+                        std::size_t n, std::uint8_t *out) {
+  Fq12 f = fq12_one();
+  for (std::size_t i = 0; i < n; ++i) {
+    const std::uint8_t *p = g1s + 64 * i;
+    const std::uint8_t *q = g2s + 128 * i;
+    bool p_inf = true, q_inf = true;
+    for (int j = 0; j < 64; ++j) p_inf &= (p[j] == 0);
+    for (int j = 0; j < 128; ++j) q_inf &= (q[j] == 0);
+    if (p_inf || q_inf) continue;  // e(O, .) = e(., O) = 1
+    U256 px, py;
+    u256_from_bytes_le(px, p);
+    u256_from_bytes_le(py, p + 32);
+    E12 pe = embed_g1(f_to_mont(FQ, px), f_to_mont(FQ, py));
+    U256 xc0, xc1, yc0, yc1;
+    u256_from_bytes_le(xc0, q);
+    u256_from_bytes_le(xc1, q + 32);
+    u256_from_bytes_le(yc0, q + 64);
+    u256_from_bytes_le(yc1, q + 96);
+    E12 qe = untwist(Fq2{f_to_mont(FQ, xc0), f_to_mont(FQ, xc1)},
+                     Fq2{f_to_mont(FQ, yc0), f_to_mont(FQ, yc1)});
+    f = fq12_mul(f, miller_loop(pe, qe));
+  }
+  f = final_exponentiation(f);
+  const Fq2 *pairs[6] = {&f.c0.c0, &f.c0.c1, &f.c0.c2,
+                         &f.c1.c0, &f.c1.c1, &f.c1.c2};
+  for (int i = 0; i < 6; ++i) {
+    u256_to_bytes_le(f_from_mont(FQ, pairs[i]->c0), out + 64 * i);
+    u256_to_bytes_le(f_from_mont(FQ, pairs[i]->c1), out + 64 * i + 32);
   }
 }
 

@@ -49,6 +49,32 @@ def test_ipa_eval_proof(ipa_crs):
     assert not IPA.verify(ipa_crs, commit, index, proof_outside)
 
 
+def test_ipa_fused_prove_matches_hostloop(ipa_crs):
+    """The fused single-dispatch device loop (schemes/ipa.py::_fused_ipa_loop,
+    Fiat-Shamir on device via ops/sha256.py) must produce BIT-IDENTICAL
+    proofs to the host-sequenced reference loop — same L/R points, tip, y,
+    and the same final transcript state."""
+    from verkle_kzg_tpu.fiatshamir.transcript import Transcript
+    from verkle_kzg_tpu.ops import field as df
+    from verkle_kzg_tpu.ops.limbs import ints_to_limbs
+    from verkle_kzg_tpu.schemes.ipa import _low_level_ipa, _low_level_ipa_hostloop
+    import jax.numpy as jnp
+
+    data = FrVector.from_ints([rng.randrange(1, 2**64) for _ in range(SIZE)],
+                              ipa_crs.domain)
+    commit = IPA.commit(ipa_crs, data)
+    point = 3
+    b = ipa_crs.domain.barycentric_coefficients(point)
+    b_mont = df.to_mont(jnp.asarray(ints_to_limbs(b).T), "fr")
+
+    t1, t2 = Transcript("ipa"), Transcript("ipa")
+    fused = _low_level_ipa(ipa_crs, data.vals, b_mont, commit, point, t1)
+    ref = _low_level_ipa_hostloop(ipa_crs, data.vals, b_mont, commit, point, t2)
+    assert fused.l == ref.l and fused.r == ref.r
+    assert fused.tip == ref.tip and fused.y == ref.y
+    assert bytes(t1._state) == bytes(t2._state)
+
+
 def test_ipa_commitment_proof(ipa_crs):
     data = FrVector.from_ints(list(range(SIZE)), ipa_crs.domain)
     commit = IPA.commit(ipa_crs, data)

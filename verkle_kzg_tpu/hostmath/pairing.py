@@ -15,6 +15,8 @@ tests against the group law (tests/test_hostmath.py).
 
 from __future__ import annotations
 
+import os
+
 from ..params import ATE_LOOP_COUNT, Q, R
 from .field import Fq2, Fq6, Fq12
 
@@ -108,13 +110,36 @@ def final_exponentiation(f: Fq12) -> Fq12:
     return f2.pow(hard)
 
 
+def _fq12_from_coeffs(vals) -> Fq12:
+    c2s = [Fq2(vals[2 * i], vals[2 * i + 1]) for i in range(6)]
+    return Fq12(Fq6(*c2s[:3]), Fq6(*c2s[3:]))
+
+
+def _native_multi_pairing(pairs):
+    """Try the C++ pairing (native/vkzg.cpp::vkzg_multi_pairing, ~40x the
+    pure-python path); None when the .so is unavailable or disabled via
+    VKZG_NATIVE_PAIRING=0. Bit-identical by test (test_native.py)."""
+    if os.environ.get("VKZG_NATIVE_PAIRING", "1") == "0":
+        return None
+    from .. import native
+
+    vals = native.multi_pairing(pairs)
+    return None if vals is None else _fq12_from_coeffs(vals)
+
+
 def pairing(p, q) -> Fq12:
     """Full pairing e(P, Q) for P in G1, Q in G2 (affine, None = infinity)."""
+    nat = _native_multi_pairing([(p, q)])
+    if nat is not None:
+        return nat
     return final_exponentiation(miller_loop(p, q))
 
 
 def multi_pairing(pairs) -> Fq12:
     """Product of pairings with one shared final exponentiation."""
+    nat = _native_multi_pairing(pairs)
+    if nat is not None:
+        return nat
     f = Fq12.one()
     for p, q in pairs:
         f = f * miller_loop(p, q)

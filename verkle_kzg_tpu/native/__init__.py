@@ -43,6 +43,7 @@ def _load():
     lib.vkzg_g1_scalar_mul_batch.restype = None
     lib.vkzg_ipa_crs.restype = ctypes.c_uint64
     lib.vkzg_kzg_srs.restype = None
+    lib.vkzg_multi_pairing.restype = None
     _lib = lib
     return lib
 
@@ -133,6 +134,34 @@ def ipa_crs(seed: bytes, num: int) -> list:
     out = ctypes.create_string_buffer(64 * num)
     lib.vkzg_ipa_crs(seed, len(seed), num, out)
     return _unpack_points(out.raw, num)
+
+
+def multi_pairing(pairs):
+    """Product of BN254 pairings with one shared final exponentiation,
+    bit-identical to ``hostmath.pairing.multi_pairing`` (the arkworks
+    ``Pairing::multi_pairing`` analog used by KZG verify,
+    ``vector-commit/src/kzg/mod.rs:182-186``). ``pairs`` is a list of
+    (g1_affine, g2_affine) with None = infinity; g2 points are (Fq2, Fq2)
+    tuples. Returns the 12 standard-form Fq coefficients (c0.c0.c0,
+    c0.c0.c1, ..., c1.c2.c1) as ints, or None if the .so is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    g1b = bytearray()
+    g2b = bytearray()
+    for p, q in pairs:
+        g1b += bytes(64) if p is None else (
+            int(p[0]).to_bytes(32, "little") + int(p[1]).to_bytes(32, "little")
+        )
+        if q is None:
+            g2b += bytes(128)
+        else:
+            x, y = q
+            for v in (x.c0, x.c1, y.c0, y.c1):
+                g2b += int(v).to_bytes(32, "little")
+    out = ctypes.create_string_buffer(384)
+    lib.vkzg_multi_pairing(bytes(g1b), bytes(g2b), len(pairs), out)
+    return [int.from_bytes(out.raw[32 * i : 32 * i + 32], "little") for i in range(12)]
 
 
 def kzg_monomial_srs(g, secret: int, num: int) -> list:

@@ -23,12 +23,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..fiatshamir.transcript import Transcript
-from ..hostmath.curve import g1_add, g1_mul, g1_neg
+from ..hostmath.curve import g1_mul
 from ..ops import curve as dc
 from ..ops import field as df
 from ..ops import msm as dmsm
+from ..ops import sha256 as dsha
 from ..ops.limbs import ints_to_limbs, limbs_to_ints
 from ..params import R, NLIMBS
 from ..poly import Domain, FrVector
@@ -73,15 +75,6 @@ def _fold_points(keep: jnp.ndarray, scaled: jnp.ndarray, x_std: jnp.ndarray):
     return dc.add(keep, prod)
 
 
-def _msm_proj(points_proj: jnp.ndarray, scalars_mont: jnp.ndarray):
-    """MSM over (3, L, n) projective points with Montgomery scalars -> host
-    point."""
-    aff = dc.to_affine(points_proj)
-    std = df.from_mont(scalars_mont, "fr")
-    out = dmsm.msm_auto(aff, std)
-    return dc.projective_to_host_points(out)[0]
-
-
 @jax.jit
 def _ipa_round(g, a, b, q_proj):
     """One fused halving-round: computes BOTH cross terms
@@ -107,6 +100,95 @@ def _ipa_round(g, a, b, q_proj):
         dc.scalar_mul(q_proj, ip_r),
     )
     return dc.to_affine(jnp.concatenate([y_l, y_r], axis=-1))  # (2, L, 2)
+
+
+# ---------------------------------------------------------------------------
+# Fused device halving loop: the ENTIRE prove sequence — inner products,
+# cross-term MSMs, point compression, the Fiat-Shamir SHA-256 digest chain
+# (ops/sha256.py), and the challenge folds — compiles into ONE device
+# program. The reference host-sequences this loop with 2*log2(n) device
+# round-trips per prove (``ipa/mod.rs:268-319``); over a network-attached
+# TPU those syncs dominate latency, so here the host only ships the initial
+# transcript state in and reads the finished proof out.
+# ---------------------------------------------------------------------------
+
+
+def _fused_ipa_loop(g, a, b, q_proj, state, dst: bytes, with_q: bool):
+    """Unrolled halving loop (shapes halve per round, so rounds are separate
+    traces inside one program). ``state`` is the 33-byte cleared transcript
+    state entering the loop; challenges are recomputed bit-identically to
+    fiatshamir/transcript.py. Returns per-round (L, R) affine pairs, the tip,
+    and (with_q) the evaluation — all still on device."""
+    eval_std = None
+    if with_q:
+        eval_std = df.from_mont(_inner_mont(a, b), "fr")
+        msg = jnp.concatenate(
+            [
+                state,
+                dsha.const_bytes(b"output point"),
+                dsha.fr_to_bytes(eval_std),
+                dsha.const_bytes(b"w"),
+            ]
+        )
+        w_std = dsha.hash_to_fr(msg, dst)
+        state = jnp.concatenate([dsha.fr_to_bytes(w_std), dsha.const_bytes(b"w")])
+        q = dc.scalar_mul(q_proj, w_std)  # q <- w*q, on device
+
+    pairs = []
+    n = a.shape[-1]
+    while n > 1:
+        half = n // 2
+        a_l, a_r = a[:, :half], a[:, half:]
+        g_l, g_r = g[..., :half], g[..., half:]
+        y_l = dmsm._msm_auto_impl(dc.to_affine(g_r), df.from_mont(a_l, "fr"))
+        y_r = dmsm._msm_auto_impl(dc.to_affine(g_l), df.from_mont(a_r, "fr"))
+        if with_q:
+            b_l, b_r = b[:, :half], b[:, half:]
+            ip_l = df.from_mont(_inner_mont(a_l, b_r), "fr")
+            ip_r = df.from_mont(_inner_mont(a_r, b_l), "fr")
+            y_l = dc.add(y_l, dc.scalar_mul(q, ip_l))
+            y_r = dc.add(y_r, dc.scalar_mul(q, ip_r))
+        pair = dc.to_affine(jnp.concatenate([y_l, y_r], axis=-1))  # (2, L, 2)
+
+        pbytes = dsha.g1_compressed_bytes(pair)  # (2, 32)
+        msg = jnp.concatenate(
+            [
+                state,
+                dsha.const_bytes(b"L"),
+                pbytes[0],
+                dsha.const_bytes(b"R"),
+                pbytes[1],
+                dsha.const_bytes(b"x"),
+            ]
+        )
+        x_std = dsha.hash_to_fr(msg, dst)
+        state = jnp.concatenate([dsha.fr_to_bytes(x_std), dsha.const_bytes(b"x")])
+
+        x_mont = df.to_mont(x_std, "fr")
+        a = _fold_field(a_l, a_r, x_mont)
+        if with_q:
+            b = _fold_field(b_r, b_l, x_mont)
+        g = _fold_points(g_r, g_l, x_std)
+        pairs.append(pair)
+        n = half
+
+    tip_std = df.from_mont(a, "fr")
+    stacked = jnp.stack(pairs)  # (rounds, 2, L, 2)
+    return (stacked, tip_std, eval_std) if with_q else (stacked, tip_std)
+
+
+@functools.partial(jax.jit, static_argnames=("dst",))
+def _fused_prove_program(g, a, b, q_proj, state, dst: bytes):
+    return _fused_ipa_loop(g, a, b, q_proj, state, dst, with_q=True)
+
+
+@functools.partial(jax.jit, static_argnames=("dst",))
+def _fused_commit_proof_program(g, a, state, dst: bytes):
+    return _fused_ipa_loop(g, a, None, None, state, dst, with_q=False)
+
+
+def _state_to_device(t: Transcript) -> jnp.ndarray:
+    return jnp.asarray(np.frombuffer(bytes(t._state), np.uint8).astype(np.uint32))
 
 
 @jax.jit
@@ -137,6 +219,10 @@ class IPAParams:
     @functools.cached_property
     def g_proj(self) -> jnp.ndarray:
         return dc.from_affine(self.g_affine)
+
+    @functools.cached_property
+    def q_proj(self) -> jnp.ndarray:
+        return dc.host_point_to_projective(self.q_host)
 
     def max_size(self) -> int:
         return self.n
@@ -249,29 +335,18 @@ class IPA:
                 [a, jnp.zeros((a.shape[0], n2 - m), jnp.uint32)], axis=-1
             )
         g = params.g_proj[..., :n2]
-        l_pts, r_pts = [], []
 
         t = Transcript(IPA.transcript_label)
         t.append_point(commitment, "C")
-        ra = t.digest("x", True)
+        t.digest("x", True)  # state <- fr(x0) || "x"; x0 itself is unused
+        if n2 == 1:
+            return IPACommitProof(l=[], r=[], tip=_mont_to_int(a))
 
-        n_cur = n2
-        while n_cur > 1:
-            half = n_cur // 2
-            a_l, a_r = a[:, :half], a[:, half:]
-            g_l, g_r = g[..., :half], g[..., half:]
-            y_l = _msm_proj(g_r, a_l)
-            y_r = _msm_proj(g_l, a_r)
-            l_pts.append(y_l)
-            r_pts.append(y_r)
-            t.append_point(y_l, "L")
-            t.append_point(y_r, "R")
-            ra = t.digest("x", True)
-            a = _fold_field(a_l, a_r, _int_to_mont(ra))
-            g = _fold_points(g_r, g_l, _int_to_std(ra))
-            n_cur = half
-
-        return IPACommitProof(l=l_pts, r=r_pts, tip=_mont_to_int(a))
+        pairs, tip_std = jax.device_get(
+            _fused_commit_proof_program(g, a, _state_to_device(t), t._dst)
+        )
+        l_pts, r_pts, tip = _unpack_fused(t, pairs, tip_std)
+        return IPACommitProof(l=l_pts, r=r_pts, tip=tip)
 
     @staticmethod
     def verify_commitment_proof(
@@ -307,6 +382,25 @@ class IPA:
         return _msm_is_zero(pts, g_sc + extra_sc)
 
 
+def _unpack_fused(t: Transcript, pairs_h, tip_h):
+    """Convert the fused loop's (already host-side) outputs, then a pure-host
+    transcript REPLAY (microseconds of SHA-256) so ``t`` ends in exactly the
+    state the device digest chain produced — downstream digests (multiproof)
+    stay bit-identical, and any device/host divergence surfaces as a verify
+    failure in tests."""
+    tip = limbs_to_ints(tip_h.T)[0]
+    l_pts, r_pts = [], []
+    for k in range(pairs_h.shape[0]):
+        pr = dc.affine_to_host_points(pairs_h[k])
+        l_pts.append(pr[0])
+        r_pts.append(pr[1])
+    for y_l, y_r in zip(l_pts, r_pts):
+        t.append_point(y_l, "L")
+        t.append_point(y_r, "R")
+        t.digest("x", True)
+    return l_pts, r_pts, tip
+
+
 def _low_level_ipa(
     params: IPAParams,
     a: jnp.ndarray,
@@ -315,9 +409,48 @@ def _low_level_ipa(
     input_point: int,
     transcript,
 ) -> IPAProof:
-    """The halving loop (``ipa/mod.rs:268-319``), host-sequenced, device-
-    computed."""
+    """The halving loop (``ipa/mod.rs:268-319``) as ONE fused device program
+    (see _fused_ipa_loop); the host appends the public inputs, dispatches,
+    and replays the digest chain over the returned L/R points."""
     metrics.record("ipa.prove.calls")
+    n = a.shape[-1]
+
+    t = transcript if transcript is not None else Transcript(IPA.transcript_label)
+    t.append_point(commitment, "C")
+    t.append_scalar(input_point % R, "input point")
+
+    if n == 1:
+        eval_ = _mont_to_int(_inner_mont(a, b))
+        t.append_scalar(eval_, "output point")
+        t.digest("w", True)
+        return IPAProof(l=[], r=[], tip=_mont_to_int(a), y=eval_)
+
+    pairs, tip_std, eval_std = jax.device_get(
+        _fused_prove_program(
+            params.g_proj[..., :n], a, b, params.q_proj, _state_to_device(t), t._dst
+        )
+    )  # ONE transfer for the whole proof
+    # replay the pre-loop digests host-side (they need eval_, now known)
+    y = limbs_to_ints(eval_std.T)[0]
+    t.append_scalar(y, "output point")
+    t.digest("w", True)
+    l_pts, r_pts, tip = _unpack_fused(t, pairs, tip_std)
+    return IPAProof(l=l_pts, r=r_pts, tip=tip, y=y)
+
+
+def _low_level_ipa_hostloop(
+    params: IPAParams,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    commitment,
+    input_point: int,
+    transcript,
+) -> IPAProof:
+    """Host-sequenced reference implementation of the halving loop: the
+    Fiat-Shamir chain runs through fiatshamir/transcript.py between device
+    rounds, exactly as the reference sequences it. Kept as an independent
+    second implementation — tests assert the fused device loop produces
+    bit-identical proofs (tests/test_schemes.py)."""
     n = a.shape[-1]
     eval_ = _mont_to_int(_inner_mont(a, b))
 
@@ -327,22 +460,19 @@ def _low_level_ipa(
     t.append_scalar(eval_, "output point")
     ra = t.digest("w", True)
 
-    q = g1_mul(params.q_host, ra)  # q <- w*q
-    q_proj = dc.host_point_to_projective(q)
-    g = params.g_proj
+    q_proj = dc.host_point_to_projective(g1_mul(params.q_host, ra))
+    g = params.g_proj[..., :n]
     l_pts, r_pts = [], []
 
     n_cur = n
     while n_cur > 1:
         pair = dc.affine_to_host_points(_ipa_round(g, a, b, q_proj))
         y_l, y_r = pair[0], pair[1]
-
         l_pts.append(y_l)
         r_pts.append(y_r)
         t.append_point(y_l, "L")
         t.append_point(y_r, "R")
         ra = t.digest("x", True)
-
         g, a, b = _ipa_fold(g, a, b, _int_to_mont(ra), _int_to_std(ra))
         n_cur //= 2
 

@@ -30,8 +30,8 @@ import jax.numpy as jnp
 
 from ..errors import KZGError
 from ..hostmath.curve import g1_add, g1_generator, g1_mul, g1_neg, g2_add, g2_mul, g2_neg, g2_generator
-from ..hostmath.pairing import pairing
-from ..hostmath.field import fr_batch_inverse
+from ..hostmath.field import Fq12, fr_batch_inverse
+from ..hostmath.pairing import multi_pairing, pairing
 from ..ops import curve as dc
 from ..ops import msm as dmsm
 from ..ops.limbs import ints_to_limbs
@@ -140,13 +140,17 @@ class KZG:
     def verify_point(
         params: KZGParams, commitment, point: int, proof: KZGProof, transcript=None
     ) -> bool:
-        """e(pi, alpha H - p H) == e(C - y G, H)  (``kzg/mod.rs:165-189``).
-        In-domain points (< max_size) are re-mapped to w^point."""
+        """e(pi, alpha H - p H) == e(C - y G, H)  (``kzg/mod.rs:165-189``),
+        checked as one 2-pairing product with a negated right side (shared
+        final exponentiation — value-identical, ~2x cheaper than two full
+        pairings). In-domain points (< max_size) are re-mapped to w^point."""
         p = params.domain.element(point) if point < params.size else point
         h = g2_generator()
         lhs_g2 = g2_add(params.g2, g2_neg(g2_mul(h, p)))
         rhs_g1 = g1_add(commitment, g1_neg(g1_mul(g1_generator(), proof.y)))
-        return pairing(proof.proof, lhs_g2) == pairing(rhs_g1, h)
+        return multi_pairing(
+            [(proof.proof, lhs_g2), (g1_neg(rhs_g1), h)]
+        ) == Fq12.one()
 
     @staticmethod
     def prove_batch(params, commitment, indexes, data):
