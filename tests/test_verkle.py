@@ -167,6 +167,107 @@ def test_prove_keys_stateless(crs):
     assert not verifier.verify(root, [k1, k2], {k1: v1, k2: v2}, proof)
 
 
+def test_absence_proofs(crs):
+    """Stateless absence proofs for all three path-termination modes
+    (greenfield vs the empty proving block ``verkle-tree/src/lib.rs:141-152``;
+    Ethereum verkle absence semantics): empty internal slot ("E"),
+    extension with another stem ("O"), extension missing the unit ("L")."""
+    from verkle_kzg_tpu.verkle.tree import VerkleVerifier
+
+    t = VerkleTree(KZG, crs, KEY_LEN, internal_width=WIDTH)
+    k1 = (2, 3, 4)
+    k2 = (2, 5, 6)  # shares first unit -> internal node at depth 1
+    v1, v2 = random_value(), random_value()
+    t.insert_single(k1, v1)
+    t.insert_single(k2, v2)
+    # "L": extension whose stem matches k_l but holds a different unit
+    # (only reachable through the multi-value insert surface)
+    k_l = (7, 1, 1)
+    t._insert(t.root, k_l, [(9, random_value())], 0)
+    t.commitment()
+    root = t.root.commit
+
+    absent_e = (9, 0, 0)  # no child at root slot 9
+    absent_e2 = (2, 7, 7)  # internal at depth 1 has no child at 7
+    absent_o = (2, 3, 5)  # hits k1's extension: stem differs in the last unit
+    verifier = VerkleVerifier(
+        scheme=KZG, params=crs, key_len=KEY_LEN, ext_width=t.ext_width
+    )
+
+    keys = [k1, absent_e, absent_e2, absent_o, k_l]
+    values = {k1: v1, absent_e: None, absent_e2: None, absent_o: None, k_l: None}
+    proof = t.prove_keys(keys)
+    assert proof.modes[absent_e][0] == "E" and proof.modes[absent_e][1] == 0
+    assert proof.modes[absent_e2] == ("E", 1)
+    assert proof.modes[absent_o][0] == "O"
+    assert proof.modes[k_l][0] == "L"
+    assert verifier.verify(root, keys, values, proof)
+
+    # claiming a PRESENT value for a proven-absent key must fail
+    bad = dict(values)
+    bad[absent_o] = 123
+    assert not verifier.verify(root, keys, bad, proof)
+    # claiming absence for the present key must fail
+    bad = dict(values)
+    bad[k1] = None
+    assert not verifier.verify(root, keys, bad, proof)
+    # tampering the other-stem metadata must fail (stems must differ but
+    # share the path prefix, and the multiproof binds the real stem item)
+    import copy
+
+    p2 = copy.deepcopy(proof)
+    p2.modes[absent_o] = ("O", p2.modes[absent_o][1], absent_o)
+    assert not verifier.verify(root, keys, values, p2)
+    p3 = copy.deepcopy(proof)
+    p3.modes[absent_o] = ("O", p3.modes[absent_o][1], (9, 9, 9))
+    assert not verifier.verify(root, keys, values, p3)
+    # flipping an absent mode to "present" must fail
+    p4 = copy.deepcopy(proof)
+    p4.modes[absent_e2] = ("P", 2)
+    vals4 = dict(values)
+    vals4[absent_e2] = 5
+    assert not verifier.verify(root, keys, vals4, p4)
+
+
+def test_mixed_density_commit(crs):
+    """Per-node sparse/dense routing in _batched_commit: one busy extension
+    (dense c1) alongside 1-leaf extensions (sparse) in the SAME chunk must
+    equal the hand-rolled per-node commit (``node.rs:212-277`` semantics)."""
+    from verkle_kzg_tpu.hostmath.serialize import g1_to_data_item
+    from verkle_kzg_tpu.verkle.tree import ExtensionNode
+
+    EXTW = 16
+    t = VerkleTree(KZG, crs, KEY_LEN, ext_width=EXTW, internal_width=WIDTH)
+    t.insert_single((1, 2, 3), random_value())
+    t.insert_single((4, 5, 6), random_value())
+    # busy stem: 8 units -> 16 nonzero c1/c2 slots > SPARSE_NNZ_MAX
+    busy = (7, 7, 7)
+    t._insert(t.root, busy, [(u, random_value()) for u in range(8)], 0)
+    root = t.commitment()
+
+    def ext_commit(node):
+        c1, c2 = [0] * EXTW, [0] * EXTW
+        for unit, val in node.leaves.items():
+            low, high = _split_value(val)
+            tgt = c1 if unit < EXTW // 2 else c2
+            tgt[(2 * unit) % EXTW] = low
+            tgt[(2 * unit + 1) % EXTW] = high
+        c1p = KZG.commit(crs, FrVector.from_ints(c1, crs.domain))
+        c2p = KZG.commit(crs, FrVector.from_ints(c2, crs.domain))
+        data = [1, _stem_item(node.stem), g1_to_data_item(c1p), g1_to_data_item(c2p)]
+        return KZG.commit(crs, FrVector.from_ints(data, crs.domain))
+
+    def node_commit(node):
+        if isinstance(node, ExtensionNode):
+            return ext_commit(node)
+        vec = [0] * WIDTH
+        for unit, child in node.children.items():
+            vec[unit] = g1_to_data_item(node_commit(child))
+        return KZG.commit(crs, FrVector.from_ints(vec, crs.domain))
+
+    assert root == node_commit(t.root)
+
+
 def test_path_to_stem(crs):
     t = VerkleTree(KZG, crs, KEY_LEN, internal_width=WIDTH)
     k = random_key()

@@ -250,15 +250,40 @@ class VerkleTree:
         """Commit a list of SPARSE vectors ({index: value} dicts, all of
         ``width``) with a few fused device calls (one per COMMIT_CHUNK).
 
-        Vectors with <= SPARSE_NNZ_MAX nonzeros take the gather +
-        scalar-mul path; otherwise the dense Pippenger fleet. Chunk sizes
-        are padded to FIXED shapes so each (width, path) pair traces and
-        compiles exactly one device program regardless of node counts."""
+        Routing is PER NODE: each vector with <= SPARSE_NNZ_MAX nonzeros
+        takes the gather + scalar-mul path and the rest form a dense
+        Pippenger fleet — one busy node (e.g. a fully-populated stem) no
+        longer drags a whole chunk of 1-leaf extensions onto the width-256
+        dense path. Chunk sizes are padded to FIXED shapes so each
+        (width, path) pair traces and compiles exactly one device program
+        regardless of node counts."""
         nnz = [sorted(k for k, v in d.items() if v % R) for d in sparse_vecs]
-        maxnnz = max((len(ix) for ix in nnz), default=0)
-        if 0 < maxnnz <= self.SPARSE_NNZ_MAX:
+        sparse_ix = [
+            i for i, ix in enumerate(nnz) if len(ix) <= self.SPARSE_NNZ_MAX
+        ]
+        dense_ix = [
+            i for i, ix in enumerate(nnz) if len(ix) > self.SPARSE_NNZ_MAX
+        ]
+        if not dense_ix:
+            maxnnz = max((len(ix) for ix in nnz), default=0)
+            if maxnnz == 0:
+                # every vector zero: width-independent, still one device call
+                maxnnz = 1
             return self._sparse_commit(sparse_vecs, nnz, maxnnz, width)
-        return self._dense_commit(sparse_vecs, width)
+        if not sparse_ix:
+            return self._dense_commit(sparse_vecs, width)
+        s_nnz = [nnz[i] for i in sparse_ix]
+        s_max = max(1, max(len(ix) for ix in s_nnz))
+        s_pts = self._sparse_commit(
+            [sparse_vecs[i] for i in sparse_ix], s_nnz, s_max, width
+        )
+        d_pts = self._dense_commit([sparse_vecs[i] for i in dense_ix], width)
+        out = [None] * len(sparse_vecs)
+        for i, pt in zip(sparse_ix, s_pts):
+            out[i] = pt
+        for i, pt in zip(dense_ix, d_pts):
+            out[i] = pt
+        return out
 
     def _dense_commit(self, sparse_vecs, width):
         basis = self.scheme.basis_affine(self.params)[..., :width]
@@ -396,17 +421,60 @@ class VerkleTree:
     #    proof shape — one multiproof over every (commitment, index, value)
     #    opening along the union of key paths) --------------------------------
 
-    def _canonical_queries(self, keys, values=None):
-        """Walk ``keys`` (sorted) and produce the deduped opening list.
+    def _walk(self, stem):
+        """Walk ``stem`` from the root: (internal_path, terminal, mode).
 
-        ``values`` (optional dict key -> 256-bit int) overrides the tree's
-        stored leaf values when deriving the leaf-opening y's — the verifier
-        passes the CLAIMED values so a mismatch surfaces as a query-structure
-        mismatch. Returns a list of (commit, z, y, vector) tuples.
+        ``internal_path`` is the (parent, depth, edge, child) list of internal
+        links actually present; ``mode`` is one of
+          ("P", depth)              — key present (terminal = its extension)
+          ("E", depth)              — no child at stem[depth] of the internal
+                                      node at depth (terminal = that node)
+          ("O", depth, other_stem)  — path ends at an extension with a
+                                      DIFFERENT stem (terminal = it)
+          ("L", depth)              — extension with matching stem but no
+                                      leaf at the key's unit (terminal = it)
+        """
+        path = []
+        n = self.root
+        depth = 0
+        while isinstance(n, InternalNode):
+            child = n.children.get(stem[depth])
+            if child is None:
+                return path, n, ("E", depth)
+            path.append((n, depth, stem[depth], child))
+            n = child
+            depth += 1
+        if n.stem != stem:
+            return path, n, ("O", depth, n.stem)
+        if stem[-1] not in n.leaves:
+            return path, n, ("L", depth)
+        return path, n, ("P", depth)
+
+    def _canonical_queries(self, keys, values=None):
+        """Walk ``keys`` (sorted) and produce the deduped opening list plus
+        each key's path mode (see ``_walk``). Keys NOT in the tree generate
+        ABSENCE openings (greenfield vs the empty proving block at
+        ``verkle-tree/src/lib.rs:141-152``; Ethereum verkle semantics):
+
+          * empty internal slot  -> open the parent's vector at the missing
+            edge to 0;
+          * extension with a different stem -> open its slots 0/1 to
+            (1, other_stem_item) — the verifier checks the stems differ;
+          * extension without the unit -> open the c1/c2 slots to 0 (this
+            layout stores no presence marker, so "absent" and "value 0"
+            commit identically — same as the reference's SplittableValue at
+            ``verkle-tree/src/lib.rs:194-202``).
+
+        ``values`` (optional dict key -> 256-bit int or None) overrides the
+        tree's stored leaf values when deriving the leaf-opening y's — the
+        verifier passes the CLAIMED values (None = claimed absent) so a
+        mismatch surfaces as a query-structure mismatch.
+        Returns (list of (commit, z, y, vector) tuples, modes dict).
         """
         half = self.ext_width // 2
         queries = []
         seen = set()
+        modes = {}
 
         def add(commit, z, y, vec, dedup_key):
             if dedup_key in seen:
@@ -414,21 +482,17 @@ class VerkleTree:
             seen.add(dedup_key)
             queries.append((commit, z, y, vec))
 
-        for key in sorted(keys):
+        for key in sorted(tuple(k) for k in keys):
             stem, unit = self._split_key(key)
-            path = []
-            n = self.root
-            depth = 0
-            while isinstance(n, InternalNode):
-                child = n.children.get(stem[depth])
-                if child is None:
-                    raise NodeError(f"key {key} not in tree (absence proofs TBD)")
-                path.append((n, depth, stem[depth], child))
-                n = child
-                depth += 1
-            ext = n
-            if ext.stem != stem or unit not in ext.leaves:
-                raise NodeError(f"key {key} not in tree (absence proofs TBD)")
+            path, terminal, mode = self._walk(stem)
+            modes[key] = mode
+            if values is not None:
+                claimed = values.get(key)
+                if (claimed is None) != (mode[0] != "P"):
+                    raise NodeError(
+                        f"claimed {'absence' if claimed is None else 'presence'}"
+                        f" contradicts tree for key {key}"
+                    )
 
             for parent, d, z, child in path:
                 add(
@@ -438,15 +502,34 @@ class VerkleTree:
                     self._internal_vector(parent),
                     (id(parent), z),
                 )
+            if mode[0] == "E":
+                add(
+                    terminal.commit,
+                    stem[mode[1]],
+                    0,
+                    self._internal_vector(terminal),
+                    (id(terminal), stem[mode[1]]),
+                )
+                continue
+
+            ext = terminal
             # extension-level openings: well-formedness + stem binding
+            # (for "O" the bound stem is the OTHER extension's — proving the
+            # searched stem is NOT here)
             ext_vec = self._ext_data_vector(ext)
             add(ext.commit, 0, 1, ext_vec, (id(ext), 0))
-            add(ext.commit, 1, _stem_item(stem), ext_vec, (id(ext), 1))
-            # leaf openings inside c1 or c2
-            leaf_value = (
-                values[key] if values is not None else ext.leaves[unit]
-            )
-            low, high = _split_value(leaf_value)
+            add(ext.commit, 1, _stem_item(ext.stem), ext_vec, (id(ext), 1))
+            if mode[0] == "O":
+                continue
+
+            # leaf openings inside c1 or c2 ("L": both slots open to 0)
+            if mode[0] == "L":
+                low = high = 0
+            else:
+                leaf_value = (
+                    values[key] if values is not None else ext.leaves[unit]
+                )
+                low, high = _split_value(leaf_value)
             in_c1 = unit < half
             c_commit = ext.c1_commit if in_c1 else ext.c2_commit
             c_vec = self._ext_leaf_vectors(ext)[0 if in_c1 else 1]
@@ -461,24 +544,26 @@ class VerkleTree:
             add(c_commit, lo_idx, low, c_vec, (id(ext), "c", in_c1, lo_idx))
             add(c_commit, hi_idx, high, c_vec, (id(ext), "c", in_c1, hi_idx))
 
-        return queries
+        return queries, modes
 
     def prove_keys(self, keys):
-        """One multiproof covering every opening along the given keys' paths.
+        """One multiproof covering every opening along the given keys' paths
+        — including ABSENCE openings for keys not in the tree.
 
         Returns a ``VerkleProof`` — a STATELESS verification object: it
         carries the multiproof, every non-root commitment touched (deduped,
-        in first-use order over the sorted keys), and each key's path depth.
-        ``VerkleVerifier.verify`` reconstructs the full opening list from
-        (root commitment, keys, claimed values, proof) alone — no tree
-        access — with parent/child linkage enforced because each parent
-        opening's y is the data-item hash of the child's commitment.
+        in first-use order over the sorted keys), and each key's path mode
+        (depth + presence/absence kind). ``VerkleVerifier.verify``
+        reconstructs the full opening list from (root commitment, keys,
+        claimed values, proof) alone — no tree access — with parent/child
+        linkage enforced because each parent opening's y is the data-item
+        hash of the child's commitment.
         """
         from ..poly import FrVector
         from ..schemes.multiproof import ProverQuery, prove_multiproof
 
         self.commitment()  # ensure caches are fresh
-        raw = self._canonical_queries(keys, None)
+        raw, modes = self._canonical_queries(keys, None)
         pqueries = [
             ProverQuery(
                 data=FrVector.from_ints(vec, self.params.domain),
@@ -490,36 +575,33 @@ class VerkleTree:
         ]
         proof = prove_multiproof(self.scheme, self.params, pqueries)
 
-        # First-use-ordered non-root commitment stream + per-key depths:
-        # exactly what the stateless reconstruction consumes.
-        depths = {}
-        for key in sorted(tuple(k) for k in keys):
-            stem, _ = self._split_key(key)
-            d, n = 0, self.root
-            while isinstance(n, InternalNode):
-                n = n.children[stem[d]]
-                d += 1
-            depths[key] = d
+        # First-use-ordered non-root commitment stream: exactly what the
+        # stateless reconstruction consumes (mode-dependent per key).
         commitments, seen = [], set()
         for key in sorted(tuple(k) for k in keys):
             stem, unit = self._split_key(key)
+            mode = modes[key]
+            depth = mode[1]
             node = self.root
-            for d in range(depths[key]):
+            for d in range(depth):
                 node = node.children[stem[d]]
                 prefix = stem[: d + 1]
                 if prefix not in seen:
                     seen.add(prefix)
                     commitments.append(node.commit)
+            if mode[0] in ("E", "O"):
+                continue
             in_c1 = unit < self.ext_width // 2
-            ckey = (stem[: depths[key]], 1 if in_c1 else 2)
+            ckey = (stem[:depth], 1 if in_c1 else 2)
             if ckey not in seen:
                 seen.add(ckey)
                 commitments.append(node.c1_commit if in_c1 else node.c2_commit)
-        return VerkleProof(multiproof=proof, commitments=commitments, depths=depths)
+        return VerkleProof(multiproof=proof, commitments=commitments, modes=modes)
 
     def verify_keys(self, keys, values, proof) -> bool:
         """Stateless check against THIS tree's root commitment (convenience
-        wrapper; uses only the cached root commitment, never tree internals)."""
+        wrapper; uses only the cached root commitment, never tree internals).
+        ``values[key] = None`` claims the key is ABSENT."""
         return VerkleVerifier(
             scheme=self.scheme,
             params=self.params,
@@ -533,11 +615,13 @@ class VerkleProof:
     """Stateless verkle verification object (greenfield: the reference's
     proving impl block is empty, ``verkle-tree/src/lib.rs:141-152``; the
     shape follows Ethereum's verkle proofs — commitments-by-first-use plus
-    per-stem depths alongside one multiproof)."""
+    per-key path modes alongside one multiproof)."""
 
     multiproof: object
     commitments: list  # non-root commitments, first-use order (sorted keys)
-    depths: dict  # key tuple -> internal path length
+    #: key tuple -> ("P"|"E"|"L", depth) or ("O", depth, other_stem):
+    #: presence / empty-slot / missing-leaf / other-stem path terminator
+    modes: dict
 
 
 @dataclasses.dataclass
@@ -585,8 +669,14 @@ class VerkleVerifier:
             if len(key) != self.key_len:
                 raise NodeError(f"key length {len(key)} != {self.key_len}")
             stem, unit = key, key[-1]  # full key as stem (reference quirk)
-            depth = proof.depths[key]
-            if depth < 1:
+            mode = proof.modes[key]
+            kind, depth = mode[0], mode[1]
+            # claimed value None <=> proof claims the key is absent
+            if (values[key] is None) != (kind != "P"):
+                raise NodeError(
+                    f"claimed value contradicts proof mode for key {key}"
+                )
+            if kind == "P" and depth < 1:
                 raise NodeError(f"invalid proof depth {depth}")
             parent = root_commitment
             for d in range(depth):
@@ -597,8 +687,25 @@ class VerkleVerifier:
                     assigned[prefix] = child
                 add(parent, stem[d], g1_to_data_item(child), (stem[:d], stem[d]))
                 parent = child
+            if kind == "E":
+                # absence: the internal node at ``depth`` has no child at
+                # the key's next edge — its vector opens to 0 there
+                add(parent, stem[depth], 0, (stem[:depth], stem[depth]))
+                continue
+
             ext_commit = parent
             ext_prefix = stem[:depth]
+            if kind == "O":
+                # absence: the path ends at an extension bound (via slot 1)
+                # to a DIFFERENT stem
+                other = tuple(mode[2])
+                if other == stem or len(other) != self.key_len:
+                    raise NodeError("other-stem absence proof with own stem")
+                if other[:depth] != stem[:depth]:
+                    raise NodeError("other-stem does not share the path prefix")
+                add(ext_commit, 0, 1, (ext_prefix, "ext", 0))
+                add(ext_commit, 1, _stem_item(other), (ext_prefix, "ext", 1))
+                continue
             add(ext_commit, 0, 1, (ext_prefix, "ext", 0))
             add(ext_commit, 1, _stem_item(stem), (ext_prefix, "ext", 1))
 
@@ -614,7 +721,14 @@ class VerkleVerifier:
                 g1_to_data_item(c_commit),
                 (ext_prefix, "ext", 2 if in_c1 else 3),
             )
-            low, high = _split_value(values[key])
+            if kind == "L":
+                # absence: the extension exists but holds no leaf at the
+                # unit — both value slots open to 0. NB: this layout stores
+                # no presence marker (SplittableValue, lib.rs:194-202), so
+                # "absent" is indistinguishable from "present with value 0".
+                low = high = 0
+            else:
+                low, high = _split_value(values[key])
             lo_idx = (2 * unit) % self.ext_width
             hi_idx = (2 * unit + 1) % self.ext_width
             add(c_commit, lo_idx, low, (ext_prefix, "c", in_c1, lo_idx))
