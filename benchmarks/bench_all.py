@@ -62,8 +62,24 @@ def bench_kzg():
     return crs
 
 
+def bench_kzg_setup():
+    """Config 1b: CRS/SRS generation throughput at the reference's bench
+    sizes (``benches/kzg.rs:45-59`` measures setup at {32,2048,4096,16384})."""
+    from verkle_kzg_tpu.schemes import kzg_setup
+
+    sizes = [int(x) for x in os.environ.get(
+        "BENCH_SETUP_SIZES", "32,2048,4096,16384").split(",")]
+    for n in sizes:
+        kzg_setup(n)  # warm/compile the scalar-mul program for this shape
+        dt = t_wall(lambda: kzg_setup(n), reps=1)
+        emit("kzg_crs_setup_sec", dt, "s", n=n,
+             elements_per_sec=round(n / dt, 1))
+
+
 def bench_ipa():
-    """Config 2: IPA commit+prove+verify, domain 256, in-domain point."""
+    """Config 2: IPA commit+prove+verify, domain 256, in-domain point 3
+    AND the out-of-domain point (``benches/ipa.rs:94-97``:
+    ipa_prove_single_out_domain proves at z = domain size)."""
     from verkle_kzg_tpu.poly import FrVector
     from verkle_kzg_tpu.schemes import IPA, ipa_setup
 
@@ -74,8 +90,13 @@ def bench_ipa():
     emit("ipa_commit_sec", t_wall(lambda: IPA.commit(crs, data)), "s", n=n)
     pr = IPA.prove(crs, c, 3, data)
     emit("ipa_prove_sec", t_wall(lambda: IPA.prove(crs, c, 3, data)), "s", n=n)
+    pro = IPA.prove(crs, c, n, data)  # out-of-domain (barycentric b vector)
+    emit("ipa_prove_out_domain_sec", t_wall(lambda: IPA.prove(crs, c, n, data)),
+         "s", n=n, z=n)
     IPA.verify(crs, c, 3, pr)  # warm (compile) before timing
     emit("ipa_verify_sec", t_wall(lambda: IPA.verify(crs, c, 3, pr)), "s", n=n)
+    emit("ipa_verify_out_domain_sec",
+         t_wall(lambda: IPA.verify(crs, c, n, pro)), "s", n=n, z=n)
     return crs, data, c
 
 
@@ -103,33 +124,38 @@ def bench_multiproof(ipa_state):
 
 
 def bench_verkle():
-    """Config 4: verkle build + prove (default 10k leaves, width-256)."""
+    """Config 4: verkle build + prove (default 10k leaves, width-256).
+    BENCH_VERKLE_KEYLEN=32 selects the Ethereum geometry (32-unit keys,
+    ext_width 256): extensions then sit under depth-2 internal nodes with
+    full 32-unit stems bound in slot 1."""
     from verkle_kzg_tpu.schemes import KZG, kzg_setup
     from verkle_kzg_tpu.verkle import VerkleTree
 
     leaves = int(os.environ.get("BENCH_VERKLE_LEAVES", "10000"))
+    key_len = int(os.environ.get("BENCH_VERKLE_KEYLEN", "3"))
     crs = kzg_setup(256)
-    t = VerkleTree(KZG, crs, key_len=3, ext_width=256)
+    t = VerkleTree(KZG, crs, key_len=key_len, ext_width=256)
     # Distinct (unit0, unit1) pairs: the reference's trie layout is only
     # self-consistent when sibling stems diverge one level below their
     # parent (SURVEY.md §5 / tree.py docstring), so enumerate a grid.
     assert leaves <= 256 * 256
-    keys = [(i // 256, i % 256, (i * 7) % 256) for i in range(leaves)]
+    tail = tuple((11 * j) % 256 for j in range(key_len - 3))
+    keys = [(i // 256, i % 256, (i * 7) % 256) + tail for i in range(leaves)]
     t0 = time.perf_counter()
     for k in keys:
         t.insert_single(k, rng.randrange(1 << 256))
     insert_dt = time.perf_counter() - t0
-    emit("verkle_insert_sec", insert_dt, "s", leaves=leaves)
+    emit("verkle_insert_sec", insert_dt, "s", leaves=leaves, key_len=key_len)
 
     t0 = time.perf_counter()
     t.commitment()
     dt = time.perf_counter() - t0
-    emit("verkle_commit_sec", dt, "s", leaves=leaves, leaves_per_sec=round(leaves / dt, 1))
+    emit("verkle_commit_sec", dt, "s", leaves=leaves, key_len=key_len, leaves_per_sec=round(leaves / dt, 1))
 
     sample = keys[:: max(1, len(keys) // 16)][:16]
     t0 = time.perf_counter()
     proof = t.prove_keys(sample)
-    emit("verkle_prove16_sec", time.perf_counter() - t0, "s", keys=len(sample))
+    emit("verkle_prove16_sec", time.perf_counter() - t0, "s", keys=len(sample), key_len=key_len)
 
 
 def bench_msm_sweep():
@@ -183,10 +209,12 @@ def bench_msm_sweep():
 
 
 if __name__ == "__main__":
-    which = os.environ.get("BENCH_ONLY", "kzg,ipa,multiproof,verkle,msm").split(",")
+    which = os.environ.get("BENCH_ONLY", "kzg,setup,ipa,multiproof,verkle,msm").split(",")
     ipa_state = None
     if "kzg" in which:
         bench_kzg()
+    if "setup" in which:
+        bench_kzg_setup()
     if "ipa" in which or "multiproof" in which:
         ipa_state = bench_ipa()
     if "multiproof" in which:

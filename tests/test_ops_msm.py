@@ -63,3 +63,34 @@ def test_msm_fixed_base():
     out = jax.jit(lambda p, k: dmsm.msm_fixed_base(p, k))(pa, s)
     got = dc.projective_to_host_points(out)
     assert got == [hc.g1_msm_naive(pts, ks) for ks in kss]
+
+
+@pytest.mark.slow
+def test_msm_donated_twins_match():
+    """The donate_argnums twins (pallas_msm.bucket_accumulate_donated /
+    batched_bucket_tail_donated — SURVEY §5 aliasing row) must return the
+    same buckets/points as the plain entry points. Donation only releases
+    the INPUT buffers (no-op on CPU, buffer reuse on TPU); each call below
+    gets fresh stream arrays, as the production callers guarantee."""
+    from verkle_kzg_tpu.ops import pallas_msm as PM
+
+    n, b, c = 8, 4, 4
+    cases = [setup_case(n, include_edge=(i == 0)) for i in range(b)]
+    pts = jnp.stack([dc.host_points_to_affine(cs[0]) for cs in cases])
+    scs = jnp.stack([jnp.asarray(ints_to_limbs(cs[1]).T) for cs in cases])
+
+    def streams():
+        ps = jnp.moveaxis(pts, (0, 3), (3, 0))  # (N, 2, L, B)
+        dg = jnp.moveaxis(dmsm.window_digits(scs, c), -1, 1).astype(jnp.int32)
+        return jnp.array(ps), jnp.array(dg)  # fresh buffers per call
+
+    ps, dg = streams()
+    want = PM.bucket_accumulate(ps, dg, c, interpret=True)
+    ps, dg = streams()
+    got = PM.bucket_accumulate_donated(ps, dg, c, interpret=True)
+    assert jnp.all(want == got)
+
+    tail_want = PM.batched_bucket_tail(want, c, interpret=True)
+    tail_got = PM.batched_bucket_tail_donated(jnp.array(got), c, interpret=True)
+    assert jnp.all(tail_want == tail_got)
+    assert dc.projective_to_host_points(tail_got) == [cs[2] for cs in cases]

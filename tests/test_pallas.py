@@ -24,6 +24,9 @@ from verkle_kzg_tpu.ops import pallas_msm as PM
 from verkle_kzg_tpu.ops.limbs import ints_to_limbs
 from verkle_kzg_tpu.params import FQ, FR, R
 
+pytestmark = pytest.mark.slow  # see conftest: default run skips these
+
+
 L = 16
 
 

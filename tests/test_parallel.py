@@ -110,3 +110,25 @@ def test_g1_ntt_sharded_bit_exact():
 
     back = intt_g1_sharded(jnp.asarray(got), mesh=mesh, n1=8)
     assert dc.projective_to_host_points(back) == pts_host
+
+
+def test_fk_distributed_end_to_end():
+    """fk.prove_all_points with a mesh: EVERY transform (Fr + G1, size N and
+    2N) runs as the distributed four-step, and the proof list must be
+    identical to the single-device FK output (the mesh-parallel analog of
+    the reference's transforms at ``kzg/mod.rs:200-235``)."""
+    from verkle_kzg_tpu.poly import FrVector
+    from verkle_kzg_tpu.schemes import KZG, kzg_setup
+    from verkle_kzg_tpu.schemes.fk import prove_all_points
+
+    mesh = make_mesh(8)
+    n = 64
+    crs = kzg_setup(n)
+    data = FrVector.from_ints([rng.randrange(1, 2**61) for _ in range(n)], crs.domain)
+    commit = KZG.commit(crs, data)
+
+    single = prove_all_points(crs, data)
+    sharded = prove_all_points(crs, data, mesh=mesh)
+    assert [(p.proof, p.y) for p in sharded] == [(p.proof, p.y) for p in single]
+    for i in (0, 13, n - 1):
+        assert KZG.verify(crs, commit, i, sharded[i])

@@ -132,6 +132,34 @@ def test_multiproof(which, ipa_crs, kzg_crs):
     assert not verify_multiproof(scheme, crs, vqueries, proof)
 
 
+@pytest.mark.slow
+def test_multiproof_large_m(ipa_crs):
+    """M = 2^17 queries — above the former 2^16 lazy scatter-sum cap (the
+    reference's unbounded query loop, ``multiproof.rs:119-148``; its bench
+    harness stops at 2^15, ``benches/ipa.rs:19``). The chunked scatter in
+    _scale_and_group and the chunked lazy_sum must agree with a small-M
+    proof-and-verify round trip."""
+    m = 1 << 17
+    datas, commits = [], []
+    for j in range(4):
+        vals = [rng.randrange(1, 2**61) for _ in range(SIZE)]
+        data = FrVector.from_ints(vals, ipa_crs.domain)
+        datas.append((data, vals))
+        commits.append(IPA.commit(ipa_crs, data))
+    queries = []
+    for i in range(m):
+        j = i % 4
+        z = i % SIZE
+        data, vals = datas[j]
+        queries.append(ProverQuery(data=data, commit=commits[j], z=z, y=vals[z]))
+
+    proof = prove_multiproof(IPA, ipa_crs, queries)
+    vqueries = [q.to_verifier_query() for q in queries]
+    assert verify_multiproof(IPA, ipa_crs, vqueries, proof)
+    vqueries[7].y += 1
+    assert not verify_multiproof(IPA, ipa_crs, vqueries, proof)
+
+
 def test_prove_commitment_non_pow2_watermark(ipa_crs):
     """Non-power-of-two watermark: zero-padded to the next power of two
     (COMPAT.md quirk 10; the reference's iterator-zip fold drops data,

@@ -16,6 +16,9 @@ from verkle_kzg_tpu.schemes import IPA, KZG, ipa_setup, kzg_setup
 from verkle_kzg_tpu.verkle import VerkleTree
 from verkle_kzg_tpu.verkle.tree import VerkleVerifier
 
+pytestmark = pytest.mark.slow  # see conftest: default run skips these
+
+
 rng = random.Random(0x256)
 
 

@@ -287,9 +287,25 @@ def reduce_columns(cols: jnp.ndarray, spec: str) -> jnp.ndarray:
 def lazy_sum(a: jnp.ndarray, axis: int, spec: str) -> jnp.ndarray:
     """Modular sum of Montgomery elements over a BATCH axis via lazy columns.
     ``axis`` must not be the limb axis (-2) or the lane axis (-1).
-    Reduction size must be < 2^16."""
+
+    Reductions of >= 2^15 terms are chunked: 16-bit limb columns only hold
+    ~2^16 lazy terms before uint32 overflow, so each 2^15-block collapses
+    through one Montgomery pass and the (reduced) block results are summed
+    recursively — arbitrary reduction sizes, still O(1) dispatches."""
     n = a.shape[axis]
-    assert n < (1 << LIMB_BITS), "lazy_sum reduction too large"
+    blk = 1 << 15
+    if n > blk:
+        axis_pos = axis % a.ndim
+        nb = -(-n // blk)
+        if nb * blk != n:
+            padw = [(0, 0)] * a.ndim
+            padw[axis_pos] = (0, nb * blk - n)
+            a = jnp.pad(a, padw)
+        a = a.reshape(
+            a.shape[:axis_pos] + (nb, blk) + a.shape[axis_pos + 1 :]
+        )
+        cols = jnp.sum(a, axis=axis_pos + 1, dtype=jnp.uint32)
+        return lazy_sum(reduce_columns(cols, spec), axis_pos, spec)
     cols = jnp.sum(a, axis=axis, dtype=jnp.uint32)
     return reduce_columns(cols, spec)
 

@@ -215,16 +215,19 @@ def msm_pippenger(
         # the same group element as the XLA path (canonical affine), though
         # the projective representative differs (identity-adds are masked
         # in XLA but computed through the complete formulas here).
+        # the streams are moveaxis/reshape temporaries -> DONATED (their
+        # HBM is reused under the kernel; at 2^22 the point stream alone
+        # is 0.5 GB). Donation is a no-op when traced inside an outer jit.
         pts_stream = jnp.moveaxis(pts, 2, 0)
         if 16 % c == 0:
             # digits extracted in-kernel from the scalar limbs
             sc_stream = jnp.moveaxis(scalars.reshape(L, steps, lanes), 1, 0)
-            return PM.msm_single_fused_sc(
+            return PM.msm_single_fused_sc_donated(
                 pts_stream, sc_stream, c, interpret=(mode == "interpret")
             )
         digits = window_digits(scalars, c)
         digits = digits.reshape(w, steps, lanes).astype(jnp.int32)
-        return PM.msm_single_fused(
+        return PM.msm_single_fused_donated(
             pts_stream, digits, c, interpret=(mode == "interpret")
         )
     else:
@@ -267,7 +270,11 @@ def _msm_lanewise(pts_stream, digits, nbuckets: int, c: int) -> jnp.ndarray:
     w, n, b = digits.shape
     mode = _pallas_mode()
     if mode != "off":
-        buckets = PM.bucket_accumulate(
+        # both streams are locally-created temporaries (moveaxis/broadcast
+        # in the callers), so their buffers are DONATED to the kernel —
+        # at verkle node-commit scale the point stream + digit tensor are
+        # hundreds of MB of transient HBM (SURVEY §5 aliasing row).
+        buckets = PM.bucket_accumulate_donated(
             pts_stream, digits.astype(jnp.int32), c,
             interpret=(mode == "interpret"),
         )
@@ -277,7 +284,7 @@ def _msm_lanewise(pts_stream, digits, nbuckets: int, c: int) -> jnp.ndarray:
             # verkle commit passes otherwise. c > 6 would blow the tail
             # kernel's VMEM budget (2^c x 3 x L x 128 working copies) —
             # those configs fall through to the XLA tail below.
-            return PM.batched_bucket_tail(
+            return PM.batched_bucket_tail_donated(
                 buckets, c, interpret=(mode == "interpret")
             )
     else:

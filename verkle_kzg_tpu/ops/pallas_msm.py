@@ -175,8 +175,7 @@ def _accum_kernel_sc(sc_ref, pts_ref, out_ref, *, c: int, nbuckets: int, chunk: 
             out_ref[0, b : b + blk] = k_point_reduce(out_ref[0, b : b + blk])
 
 
-@functools.partial(jax.jit, static_argnames=("c", "chunk", "interpret"))
-def bucket_accumulate_from_scalars(
+def _bucket_accumulate_from_scalars_impl(
     pts_stream: jnp.ndarray,
     sc_stream: jnp.ndarray,
     c: int,
@@ -241,10 +240,24 @@ def bucket_accumulate_from_scalars(
     return out[..., :b]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("c", "chunk", "interpret")
+_STATICS = ("c", "chunk", "interpret")
+
+#: Donated twins (SURVEY §5 sanitizer/aliasing row): the big input streams'
+#: HBM buffers are released to XLA for reuse during the kernel. ONLY for
+#: callers passing locally-created arrays (reshaped/broadcast temporaries) —
+#: donating a caller-held array invalidates it on TPU. CPU ignores donation,
+#: so the CPU test suite exercises the code path without the aliasing.
+bucket_accumulate_from_scalars = jax.jit(
+    _bucket_accumulate_from_scalars_impl, static_argnames=_STATICS
 )
-def bucket_accumulate(
+bucket_accumulate_from_scalars_donated = jax.jit(
+    _bucket_accumulate_from_scalars_impl,
+    static_argnames=_STATICS,
+    donate_argnums=(0, 1),
+)
+
+
+def _bucket_accumulate_impl(
     pts_stream: jnp.ndarray,
     digits: jnp.ndarray,
     c: int,
@@ -314,6 +327,12 @@ def bucket_accumulate(
         interpret=interpret,
     )(digits.astype(jnp.int32), pts_stream)
     return out[..., :b]
+
+
+bucket_accumulate = jax.jit(_bucket_accumulate_impl, static_argnames=_STATICS)
+bucket_accumulate_donated = jax.jit(
+    _bucket_accumulate_impl, static_argnames=_STATICS, donate_argnums=(0, 1)
+)
 
 
 # ---------------------------------------------------------------------------
@@ -475,8 +494,7 @@ def _batched_tail_kernel(
         out_ref[...] = k_point_reduce(out_ref[...])
 
 
-@functools.partial(jax.jit, static_argnames=("c", "interpret"))
-def batched_bucket_tail(
+def _batched_bucket_tail_impl(
     buckets: jnp.ndarray, c: int, interpret: bool = False
 ) -> jnp.ndarray:
     """(W, 2^c, 3, L, B) buckets -> (3, L, B): per-lane double-suffix-scan
@@ -523,8 +541,19 @@ def batched_bucket_tail(
     return out[..., :b]
 
 
-@functools.partial(jax.jit, static_argnames=("c", "chunk", "interpret"))
-def msm_single_fused(
+batched_bucket_tail = jax.jit(
+    _batched_bucket_tail_impl, static_argnames=("c", "interpret")
+)
+#: Donates the bucket tensor — the largest transient of the whole batched
+#: MSM pipeline (W x 2^c x 3 x L x B words); it is dead after the tail.
+batched_bucket_tail_donated = jax.jit(
+    _batched_bucket_tail_impl,
+    static_argnames=("c", "interpret"),
+    donate_argnums=(0,),
+)
+
+
+def _msm_single_fused_impl(
     pts_stream: jnp.ndarray,
     digits: jnp.ndarray,
     c: int,
@@ -538,12 +567,11 @@ def msm_single_fused(
     complete formulas here)."""
     w, s, b = digits.shape
     assert b & (b - 1) == 0, "lane count must be a power of two"
-    buckets = bucket_accumulate(pts_stream, digits, c, chunk, interpret)
+    buckets = _bucket_accumulate_impl(pts_stream, digits, c, chunk, interpret)
     return _single_tail(buckets, c, w, interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("c", "chunk", "interpret"))
-def msm_single_fused_sc(
+def _msm_single_fused_sc_impl(
     pts_stream: jnp.ndarray,
     sc_stream: jnp.ndarray,
     c: int,
@@ -556,7 +584,19 @@ def msm_single_fused_sc(
     b = pts_stream.shape[-1]
     assert b & (b - 1) == 0, "lane count must be a power of two"
     w = 256 // c
-    buckets = bucket_accumulate_from_scalars(
+    buckets = _bucket_accumulate_from_scalars_impl(
         pts_stream, sc_stream, c, min(chunk, DEFAULT_CHUNK // 2), interpret
     )
     return _single_tail(buckets, c, w, interpret)
+
+
+msm_single_fused = jax.jit(_msm_single_fused_impl, static_argnames=_STATICS)
+msm_single_fused_donated = jax.jit(
+    _msm_single_fused_impl, static_argnames=_STATICS, donate_argnums=(0, 1)
+)
+msm_single_fused_sc = jax.jit(
+    _msm_single_fused_sc_impl, static_argnames=_STATICS
+)
+msm_single_fused_sc_donated = jax.jit(
+    _msm_single_fused_sc_impl, static_argnames=_STATICS, donate_argnums=(0, 1)
+)

@@ -31,7 +31,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..errors import BoundsError
 from ..fiatshamir.transcript import Transcript
 from ..utils import metrics
 from ..hostmath.field import fr_batch_inverse
@@ -72,6 +71,9 @@ class Multiproof:
     d: tuple  # commitment to g(x)
 
 
+_SCATTER_BLOCK = 1 << 15  # lazy uint32 columns overflow past ~2^16 terms
+
+
 @functools.partial(jax.jit, static_argnames="zp")
 def _scale_and_group(data_stack, r_pows, z_compact, zp: int):
     """Scale each query's data by r^i and scatter-sum into COMPACT per-z
@@ -81,14 +83,21 @@ def _scale_and_group(data_stack, r_pows, z_compact, zp: int):
 
     data_stack: (M, L, N) Mont; r_pows: (M, L, 1) Mont; z_compact: (M,)
     int32 indices into the distinct-z list (padded length zp). The
-    scatter-sum is EXACT lazy integer addition on limb planes (M < 2^16
-    keeps columns < 2^32), collapsed by one Montgomery pass.
-    """
+    scatter-sum is EXACT lazy integer addition on limb planes, chunked in
+    2^15-row blocks with a Montgomery collapse between blocks so columns
+    never overflow uint32 — M is unbounded (vs the reference harness's
+    2^15 ceiling, ``benches/ipa.rs:19``)."""
     scaled = df.mont_mul(data_stack, jnp.broadcast_to(r_pows, data_stack.shape), "fr")
-    grouped_lazy = (
-        jnp.zeros((zp,) + scaled.shape[1:], jnp.uint32).at[z_compact].add(scaled)
-    )
-    grouped = df.reduce_columns(grouped_lazy, "fr")
+    m = scaled.shape[0]
+    grouped = None
+    for s in range(0, m, _SCATTER_BLOCK):
+        lazy = (
+            jnp.zeros((zp,) + scaled.shape[1:], jnp.uint32)
+            .at[z_compact[s : s + _SCATTER_BLOCK]]
+            .add(scaled[s : s + _SCATTER_BLOCK])
+        )
+        part = df.reduce_columns(lazy, "fr")
+        grouped = part if grouped is None else df.add(grouped, part, "fr")
     return scaled, grouped
 
 
@@ -132,16 +141,25 @@ def prove_multiproof(scheme, params, queries: list, mesh=None) -> Multiproof:
     domain = params.domain
     n = domain.size
     m = len(queries)
-    if m >= (1 << 16):
-        raise BoundsError("lazy scatter-sum bound requires M < 2^16")
-
     metrics.record("multiproof.prove.calls")
     metrics.record("multiproof.prove.queries", m)
     t = Transcript("multiproof")
     _absorb_queries(t, queries)
     r = t.digest("r", True)
 
-    data_stack = jnp.stack([q.data.vals for q in queries])  # (M, L, N)
+    # Stack per-query data DEDUPED by object identity: callers reuse vector
+    # objects heavily (the verkle path opens the same node vector at many
+    # points), and a 2^17-operand jnp.stack is a compile-time hazard —
+    # stacking the distinct vectors and gathering per query is one cheap
+    # device op instead.
+    uniq_ids, uniq_vals, sel = {}, [], []
+    for q in queries:
+        k = id(q.data)
+        if k not in uniq_ids:
+            uniq_ids[k] = len(uniq_vals)
+            uniq_vals.append(q.data.vals)
+        sel.append(uniq_ids[k])
+    data_stack = jnp.stack(uniq_vals)[jnp.asarray(sel, dtype=jnp.int32)]  # (M, L, N)
     r_mont = df.to_mont(jnp.asarray(ints_to_limbs([r]).T), "fr")[:, 0]  # (L,)
     r_pows = df.powers_of_mont(r_mont, m, "fr")  # (L, M)
     r_pows = jnp.moveaxis(r_pows, -1, 0)[:, :, None]  # (M, L, 1)
