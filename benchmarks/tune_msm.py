@@ -46,7 +46,7 @@ def load_points(log2n: int):
     return pts, msm_scalars
 
 
-def time_config(pts, scal, n, c, lanes, chain=3, reps=2):
+def time_config(pts, scal, n, c, lanes, signed=None, chain=3, reps=2):
     from verkle_kzg_tpu.ops import curve as dc
     from verkle_kzg_tpu.ops import msm as dmsm
 
@@ -55,7 +55,7 @@ def time_config(pts, scal, n, c, lanes, chain=3, reps=2):
             acc = dc.infinity((), 1)
             for i in range(k):
                 si = jnp.roll(s, i, axis=-1)
-                acc = dc.add(acc, dmsm.msm_pippenger(p, si, c=c, lanes=lanes))
+                acc = dc.add(acc, dmsm.msm_pippenger(p, si, c=c, lanes=lanes, signed=signed))
             return acc
         return jax.jit(fn)
 
@@ -80,9 +80,13 @@ def main():
     n = 1 << log2n
     pts, scal = load_points(log2n)
     for cfg in configs.split(";"):
-        c, lanes = (int(x) for x in cfg.split(","))
-        pps = time_config(pts, scal, n, c, lanes, chain=chain)
-        print(json.dumps({"log2n": log2n, "c": c, "lanes": lanes, "points_per_sec": round(pps, 1)}), flush=True)
+        parts = cfg.split(",")
+        c, lanes = int(parts[0]), int(parts[1])
+        # optional third field: s / u forces signed / unsigned digits
+        signed = {"s": True, "u": False}.get(parts[2]) if len(parts) > 2 else None
+        pps = time_config(pts, scal, n, c, lanes, signed=signed, chain=chain)
+        print(json.dumps({"log2n": log2n, "c": c, "lanes": lanes,
+                          "signed": signed, "points_per_sec": round(pps, 1)}), flush=True)
 
 
 if __name__ == "__main__":

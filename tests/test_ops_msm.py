@@ -94,3 +94,19 @@ def test_msm_donated_twins_match():
     tail_got = PM.batched_bucket_tail_donated(jnp.array(got), c, interpret=True)
     assert jnp.all(tail_want == tail_got)
     assert dc.projective_to_host_points(tail_got) == [cs[2] for cs in cases]
+
+
+def test_msm_pippenger_signed_matches_unsigned():
+    """Balanced signed-digit windows (bucket |d|, negated y for d < 0) must
+    give the same group element as unsigned digits and the naive oracle."""
+    pts, ks, expect = setup_case(40)
+    pa = dc.host_points_to_affine(pts)
+    s = jnp.asarray(ints_to_limbs(ks).T)
+    uns = jax.jit(
+        lambda p, k: dmsm.msm_pippenger(p, k, c=8, lanes=8, signed=False)
+    )(pa, s)
+    sgn = jax.jit(
+        lambda p, k: dmsm.msm_pippenger(p, k, c=8, lanes=8, signed=True)
+    )(pa, s)
+    assert dc.projective_to_host_points(uns)[0] == expect
+    assert dc.projective_to_host_points(sgn)[0] == expect

@@ -148,3 +148,23 @@ def test_msm_pippenger_pallas_vs_host_oracle(monkeypatch):
         t = hc.g1_mul(pt, s)
         want = t if want is None else hc.g1_add(want, t)
     assert got == want
+
+
+def test_msm_pippenger_signed_pallas(monkeypatch):
+    """Signed-digit pallas pipelines (in-kernel digit+carry derivation AND
+    the digit-tensor variant) vs the host oracle."""
+    monkeypatch.setattr(msm, "_pallas_mode", lambda: "interpret")
+    rng2 = random.Random(0x516)
+    pts = [hc.g1_mul(hc.g1_generator(), rng2.getrandbits(160)) for _ in range(16)]
+    pts[3] = None
+    ks = [rng2.randrange(R) for _ in range(16)]
+    ks[5] = 0
+    pa = C.host_points_to_affine(pts)
+    s = jnp.asarray(ints_to_limbs(ks).T)
+    want = hc.g1_msm_naive(pts, ks)
+    # c=8 divides 16 -> in-kernel scalar+mask variant
+    got_sc = msm.msm_pippenger(pa, s, c=8, lanes=4, signed=True)
+    assert C.projective_to_host_points(got_sc)[0] == want
+    # c=7 -> digit-tensor signed variant
+    got_dg = msm.msm_pippenger(pa, s, c=7, lanes=4, signed=True)
+    assert C.projective_to_host_points(got_dg)[0] == want

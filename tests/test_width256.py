@@ -69,3 +69,52 @@ def test_verkle_ethereum_shape(crs256):
     del t
     assert verifier.verify(root, [k1], {k1: v1}, proof)
     assert not verifier.verify(root, [k1], {k1: v1 ^ 1}, proof)
+
+
+def test_multiproof_tamper_domain256(crs256):
+    """Round-2 verdict weak #8: tamper/reject behavior at the SHIPPED
+    domain 256 (bad D, bad y, cross-proof) — previously only exercised at
+    toy domain 8."""
+    from verkle_kzg_tpu.hostmath.curve import g1_add, g1_generator
+    from verkle_kzg_tpu.schemes import (
+        ProverQuery,
+        prove_multiproof,
+        verify_multiproof,
+    )
+
+    queries = []
+    for _ in range(5):
+        vals = [rng.randrange(1 << 64) for _ in range(256)]
+        data = FrVector.from_ints(vals, crs256.domain)
+        commit = IPA.commit(crs256, data)
+        z = rng.randrange(256)
+        queries.append(ProverQuery(data=data, commit=commit, z=z, y=vals[z]))
+
+    proof = prove_multiproof(IPA, crs256, queries)
+    vq = [q.to_verifier_query() for q in queries]
+    assert verify_multiproof(IPA, crs256, vq, proof)
+
+    # bad D
+    bad = type(proof)(proof.proof, g1_add(proof.d, g1_generator()))
+    assert not verify_multiproof(IPA, crs256, vq, bad)
+    # bad y
+    vq2 = [q.to_verifier_query() for q in queries]
+    vq2[2].y = (vq2[2].y + 1) % (1 << 64)
+    assert not verify_multiproof(IPA, crs256, vq2, proof)
+    # cross-proof: proof for a different query set must not verify
+    other = list(queries)
+    other[0], other[1] = other[1], other[0]
+    proof_other = prove_multiproof(IPA, crs256, other)
+    assert not verify_multiproof(IPA, crs256, vq, proof_other)
+
+
+def test_ipa_cross_proof_domain256(crs256):
+    vals = [rng.randrange(1 << 64) for _ in range(256)]
+    data = FrVector.from_ints(vals, crs256.domain)
+    c = IPA.commit(crs256, data)
+    p3 = IPA.prove(crs256, c, 3, data)
+    p9 = IPA.prove(crs256, c, 9, data)
+    assert IPA.verify(crs256, c, 3, p3) and IPA.verify(crs256, c, 9, p9)
+    # proofs must not cross-verify at the other index
+    assert not IPA.verify(crs256, c, 9, p3)
+    assert not IPA.verify(crs256, c, 3, p9)

@@ -163,6 +163,54 @@ def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.moveaxis(digits, -2, 0)
 
 
+def signed_carries(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(..., L, N) standard scalars -> (..., N) uint32 carry bitmask for
+    balanced signed-digit recoding: bit w = carry INTO window w, i.e.
+    [scalar mod 2^(cw) > 2^(cw-1)]. Bit 0 is always 0; the carry out of the
+    top window is 0 for scalars < 2^254 (Fr), so 32 bits always suffice
+    (c >= 8 -> W <= 32)."""
+    raw = window_digits(scalars, c)  # (W, ..., N) uint32
+    w = raw.shape[0]
+    assert w <= 32, "carry mask packs into uint32 (need c >= 8)"
+    h = jnp.uint32(1 << (c - 1))
+    mask = jnp.zeros(raw.shape[1:], jnp.uint32)
+    nz = jnp.zeros(raw.shape[1:], jnp.bool_)  # [scalar mod 2^(cw) != 0]
+    carry = jnp.zeros(raw.shape[1:], jnp.bool_)
+    for i in range(1, w + 1):
+        r = raw[i - 1]
+        # low_{i} = r*2^(c(i-1)) + low_{i-1} > 2^(ci-1)  <=>
+        #   r > 2^(c-1)  or  (r == 2^(c-1) and low_{i-1} > 0)
+        carry = (r > h) | ((r == h) & nz)
+        if i < w:  # carry out of the top window is 0 (see docstring)
+            mask = mask | jnp.where(carry, jnp.uint32(1) << i, 0)
+        nz = nz | (r != 0)
+    return mask
+
+
+def window_digits_signed(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Balanced signed window digits: (..., L, N) -> (W, ..., N) int32 in
+    [-2^(c-1), 2^(c-1)], LSB window first, with
+    sum_w d_w 2^(cw) == scalar. Halves the live bucket range vs unsigned
+    digits (bucket |d| <= 2^(c-1), sign applied to the point).
+
+    Uses a direct LSB-first carry chain (d > 2^(c-1) -> emit d - 2^c,
+    carry 1), so it works for ANY window width / count — unlike the packed
+    32-bit mask of signed_carries (in-kernel path, c in {8, 16}). The two
+    recodings may differ at exact-tie windows (d == 2^(c-1)) but both are
+    valid balanced decompositions of the same scalar; only the group
+    element is contract."""
+    raw = window_digits(scalars, c).astype(jnp.int32)  # (W, ..., N)
+    h = 1 << (c - 1)
+    out = []
+    carry = jnp.zeros(raw.shape[1:], jnp.int32)
+    for i in range(raw.shape[0]):
+        d = raw[i] + carry  # in [0, 2^c]
+        carry = (d > h).astype(jnp.int32)
+        out.append(d - (carry << c))
+    # carry out of the top window is 0 for scalars < 2^(cW-1) (Fr < 2^254)
+    return jnp.stack(out)
+
+
 def _gather_buckets(buckets: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """(W, 2^c, 3, L, lanes) x (W, lanes) -> (W, 3, L, lanes)."""
     per_lane = jax.vmap(lambda bk, di: bk[di], in_axes=(-1, -1), out_axes=-1)
@@ -176,17 +224,29 @@ def _scatter_buckets(buckets, d, val) -> jnp.ndarray:
     return jax.vmap(per_lane, in_axes=(0, 0, 0), out_axes=0)(buckets, d, val)
 
 
+def _signed_default() -> bool:
+    """Balanced signed digits halve the live bucket range (the per-step
+    whole-table gather/scatter is the top cost of the fused kernel at
+    c = 8). Default ON; VKZG_SIGNED=0 restores unsigned digits."""
+    return _os.environ.get("VKZG_SIGNED", "1") != "0"
+
+
 def msm_pippenger(
     points_affine: jnp.ndarray,
     scalars: jnp.ndarray,
     c: int = 8,
     lanes: int = 128,
+    signed: bool | None = None,
 ) -> jnp.ndarray:
     """Single MSM of N (point, scalar) pairs -> one point (3, L, 1).
 
-    ``c``: window bits (2^c buckets/window, bucket 0 unused);
-    ``lanes``: accumulation lanes (VPU width multiplier)."""
+    ``c``: window bits (2^c buckets/window unsigned, 2^(c-1)+1 signed;
+    bucket 0 unused); ``lanes``: accumulation lanes (VPU width
+    multiplier); ``signed``: balanced signed-digit windows (default from
+    VKZG_SIGNED; needs c >= 8 for the 32-bit carry mask)."""
     n = points_affine.shape[-1]
+    if signed is None:
+        signed = _signed_default() and c >= 8
     # the fused pallas pipeline wants a power-of-two lane count (lane-fold
     # halvings); round a caller-supplied lane count DOWN to one (a non-pow2
     # value, e.g. via BENCH_LANES, would otherwise only trip the pallas
@@ -219,26 +279,52 @@ def msm_pippenger(
         # HBM is reused under the kernel; at 2^22 the point stream alone
         # is 0.5 GB). Donation is a no-op when traced inside an outer jit.
         pts_stream = jnp.moveaxis(pts, 2, 0)
-        if 16 % c == 0:
+        if signed and 16 % c == 0 and c >= 8:
+            # digits + signs derived IN-KERNEL from the scalar limbs plus a
+            # 1-word-per-scalar carry bitmask
+            sc_stream = jnp.moveaxis(scalars.reshape(L, steps, lanes), 1, 0)
+            masks = signed_carries(scalars, c).reshape(steps, lanes)
+            return PM.msm_single_fused_sc_signed_donated(
+                pts_stream, sc_stream, masks, c,
+                interpret=(mode == "interpret"),
+            )
+        if not signed and 16 % c == 0:
             # digits extracted in-kernel from the scalar limbs
             sc_stream = jnp.moveaxis(scalars.reshape(L, steps, lanes), 1, 0)
             return PM.msm_single_fused_sc_donated(
                 pts_stream, sc_stream, c, interpret=(mode == "interpret")
             )
-        digits = window_digits(scalars, c)
-        digits = digits.reshape(w, steps, lanes).astype(jnp.int32)
+        dig = window_digits_signed(scalars, c) if signed else window_digits(scalars, c)
+        digits = dig.reshape(w, steps, lanes).astype(jnp.int32)
         return PM.msm_single_fused_donated(
-            pts_stream, digits, c, interpret=(mode == "interpret")
+            pts_stream, digits, c, signed=signed,
+            interpret=(mode == "interpret"),
         )
     else:
-        digits = window_digits(scalars, c)  # (W, padded)
-        digits = digits.reshape(w, steps, lanes).astype(jnp.int32)
-        buckets0 = C.infinity((w, nbuckets), lanes)  # (W, 2^c, 3, L, lanes)
+        if signed:
+            sdig = window_digits_signed(scalars, c).reshape(w, steps, lanes)
+            digits = jnp.abs(sdig)
+            signs = sdig < 0  # (W, steps, lanes)
+        else:
+            digits = window_digits(scalars, c)  # (W, padded)
+            digits = digits.reshape(w, steps, lanes).astype(jnp.int32)
+            signs = None
+        nb_live = (1 << (c - 1)) + 1 if signed else nbuckets
+        buckets0 = C.infinity((w, nb_live), lanes)  # (W, nb, 3, L, lanes)
+        # negated y per point, (steps, L, lanes) so limbs sit at axis -2
+        neg_y = (
+            F.neg(jnp.moveaxis(pts[1], 0, 1), "fq") if signed else None
+        )
 
         def step(s, buckets):
             d = digits[:, s, :]  # (W, lanes)
             cur = _gather_buckets(buckets, d)  # (W, 3, L, lanes)
             p = jnp.broadcast_to(pts[:, :, s, :][None], (w, 2, L, lanes))
+            if signed:
+                y = jnp.where(
+                    signs[:, s, None, :], neg_y[s][None], p[:, 1]
+                )
+                p = jnp.concatenate([p[:, 0:1], y[:, None]], axis=1)
             new = _mixed_add(cur, p)
             # bucket 0 collects zero digits + padding; it is excluded below
             return _scatter_buckets(buckets, d, new)
@@ -247,7 +333,7 @@ def msm_pippenger(
 
     # Merge lanes, drop bucket 0, then weighted sum sum_b b*B_b as the sum
     # of suffix sums = element 1 of a double suffix scan.
-    merged = fold_reduce_lanes(buckets)  # (W, 2^c, 3, L, 1)
+    merged = fold_reduce_lanes(buckets)  # (W, nb, 3, L, 1)
     body = merged[:, 1:]
     s1 = suffix_scan_points(body, axis=1)
     window_sums = suffix_scan_points(s1, axis=1)[:, 0]  # (W, 3, L, 1)

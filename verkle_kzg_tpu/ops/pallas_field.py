@@ -147,20 +147,31 @@ def k_mul_b3(x):
 
 def k_mont_mul(a, b, spec: str):
     """CIOS Montgomery product of reduced (L, B) operands, fully unrolled.
-    Mont in -> Mont out, result reduced to [0, m)."""
+    Mont in -> Mont out, result reduced to [0, m).
+
+    Per round, the partial products of a_i*b and m*N are FUSED before
+    touching the (L+2, B) column accumulator: m only needs the true column
+    0 (tracked via one (1, B) row add), so the two lo parts and the two hi
+    parts merge first and the wide accumulator is updated once — about 25%
+    fewer full-width ops per round than accumulating all four separately."""
     mod, n0inv, _ = _kconsts(spec)
-    lead = a.shape[:-2]
-    bsz = a.shape[-1]
+    lead = jnp.broadcast_shapes(a.shape, b.shape)[:-2]
+    bsz = max(a.shape[-1], b.shape[-1])
     z1 = jnp.zeros(lead + (1, bsz), jnp.uint32)
     z2 = jnp.zeros(lead + (2, bsz), jnp.uint32)
     cols = jnp.zeros(lead + (L + 2, bsz), jnp.uint32)
     cat = functools.partial(jnp.concatenate, axis=-2)
     for i in range(L):
         p = a[..., i : i + 1, :] * b  # (..., L, B), exact in uint32
-        cols = cols + cat([p & _MASK, z2]) + cat([z1, p >> LIMB_BITS, z1])
-        m = (cols[..., 0:1, :] * n0inv) & _MASK  # (..., 1, B)
+        p_lo = p & _MASK
+        # column 0 total BEFORE q's lo lands there (q_lo[0] makes it = 0
+        # mod 2^16 by construction — m only needs cols[0] + p_lo[0])
+        c0 = cols[..., 0:1, :] + p_lo[..., 0:1, :]
+        m = (c0 * n0inv) & _MASK  # (..., 1, B)
         q = m * mod  # (..., L, B)
-        cols = cols + cat([q & _MASK, z2]) + cat([z1, q >> LIMB_BITS, z1])
+        s_lo = p_lo + (q & _MASK)
+        s_hi = (p >> LIMB_BITS) + (q >> LIMB_BITS)
+        cols = cols + cat([s_lo, z2]) + cat([z1, s_hi, z1])
         carry = cols[..., 0:1, :] >> LIMB_BITS  # low 16 bits are 0
         cols = cat([cols[..., 1:2, :] + carry, cols[..., 2:, :], z1])
     return k_cond_sub(k_carry(cols[..., :L, :]), spec)
@@ -222,8 +233,8 @@ def k_sub_lazy(a, b, spec: str):
 
 def k_mont_mul_lazy(a, b, spec: str):
     """CIOS Montgomery product WITHOUT the trailing conditional subtract:
-    [0,2m) x [0,2m) -> [0,2m). Same column recurrence as k_mont_mul.
-    ``a`` may have broadcastable (e.g. constant (L, 1)) shape."""
+    [0,2m) x [0,2m) -> [0,2m). Same fused-partial-product recurrence as
+    k_mont_mul. ``a`` may have broadcastable (e.g. constant (L, 1)) shape."""
     mod, n0inv, _ = _kconsts(spec)
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     lead = shape[:-2]
@@ -234,10 +245,13 @@ def k_mont_mul_lazy(a, b, spec: str):
     cat = functools.partial(jnp.concatenate, axis=-2)
     for i in range(L):
         p = a[..., i : i + 1, :] * b
-        cols = cols + cat([p & _MASK, z2]) + cat([z1, p >> LIMB_BITS, z1])
-        m = (cols[..., 0:1, :] * n0inv) & _MASK
+        p_lo = p & _MASK
+        c0 = cols[..., 0:1, :] + p_lo[..., 0:1, :]
+        m = (c0 * n0inv) & _MASK
         q = m * mod
-        cols = cols + cat([q & _MASK, z2]) + cat([z1, q >> LIMB_BITS, z1])
+        s_lo = p_lo + (q & _MASK)
+        s_hi = (p >> LIMB_BITS) + (q >> LIMB_BITS)
+        cols = cols + cat([s_lo, z2]) + cat([z1, s_hi, z1])
         carry = cols[..., 0:1, :] >> LIMB_BITS
         cols = cat([cols[..., 1:2, :] + carry, cols[..., 2:, :], z1])
     return k_carry(cols[..., :L, :])

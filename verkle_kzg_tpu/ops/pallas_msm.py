@@ -44,7 +44,7 @@ from .pallas_curve import (
     k_point_mixed_add_lazy,
     k_point_reduce,
 )
-from .pallas_field import _rows_const, _kconst_ints
+from .pallas_field import _rows_const, _kconst_ints, k_sub
 
 L = NLIMBS
 
@@ -104,8 +104,19 @@ def _gather_scatter_step(tbl_ref, lead_idx, d, p, nbuckets: int, bsz: int):
 
     jax.lax.fori_loop(0, nblk, scatter_blk, 0)
 
-def _accum_kernel(digits_ref, pts_ref, out_ref, *, nbuckets: int, chunk: int):
-    """digits_ref: (1, CH, BB) int32; pts_ref: (CH, 2, L, BB) uint32;
+def _negate_y_sel(p, sign):
+    """(2, L, B) canonical affine batch with y negated where ``sign``
+    ((B,) bool). (0, 0) infinity stays fixed (k_sub(0, 0) = 0)."""
+    neg = k_sub(jnp.zeros_like(p[1]), p[1], "fq")
+    y = jnp.where(sign[None, :], neg, p[1])
+    return jnp.concatenate([p[0:1], y[None]], axis=0)
+
+
+def _accum_kernel(
+    digits_ref, pts_ref, out_ref, *, nbuckets: int, chunk: int, signed: bool
+):
+    """digits_ref: (1, CH, BB) int32 (signed mode: balanced digits, bucket
+    |d| with y negated for d < 0); pts_ref: (CH, 2, L, BB) uint32;
     out_ref: (1, nbuckets, 3, L, BB) uint32 (VMEM-resident across the
     point-chunk grid dim, which iterates innermost)."""
     s_chunk = pl.program_id(2)
@@ -121,6 +132,9 @@ def _accum_kernel(digits_ref, pts_ref, out_ref, *, nbuckets: int, chunk: int):
     def step(i, _):
         d = digits_ref[0, i]  # (B,) int32: per-lane bucket index
         p = pts_ref[i]  # (2, L, B) affine point batch
+        if signed:
+            p = _negate_y_sel(p, d < 0)
+            d = jnp.abs(d)
         _gather_scatter_step(out_ref, 0, d, p, nbuckets, bsz)
         return 0
 
@@ -164,6 +178,54 @@ def _accum_kernel_sc(sc_ref, pts_ref, out_ref, *, c: int, nbuckets: int, chunk: 
         d = ((row >> shift) & dmask).astype(jnp.int32)
         p = pts_ref[i]
         _gather_scatter_step(out_ref, 0, d, p, nbuckets, bsz)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0)
+
+    @pl.when(s_chunk == pl.num_programs(2) - 1)
+    def _normalize():
+        blk = min(16, nbuckets)
+        for b in range(0, nbuckets, blk):
+            out_ref[0, b : b + blk] = k_point_reduce(out_ref[0, b : b + blk])
+
+
+def _accum_kernel_sc_signed(
+    sc_ref, masks_ref, pts_ref, out_ref, *, c: int, nbuckets: int, chunk: int
+):
+    """Signed-digit variant of _accum_kernel_sc: the balanced digit is
+    derived in-kernel from the raw window digit plus a streamed carry
+    bitmask (masks_ref: (CH, BB) uint32, bit w = carry INTO window w — one
+    word per scalar, see ops/msm.py::signed_carries). Bucket = |d| (live
+    range 0..2^(c-1), table padded to ``nbuckets``); the point's y is
+    negated where d < 0."""
+    w_id = pl.program_id(0)
+    s_chunk = pl.program_id(2)
+    bsz = out_ref.shape[-1]
+    limb = (w_id * c) // 16
+    shift = (w_id * c) % 16
+    dmask = jnp.uint32((1 << c) - 1)
+
+    @pl.when(s_chunk == 0)
+    def _init():
+        zero = jnp.zeros((L, bsz), jnp.uint32)
+        one = jnp.broadcast_to(_one_mont_rows("fq"), (L, bsz))
+        inf = jnp.stack([zero, one, zero], axis=0)
+        out_ref[0] = jnp.broadcast_to(inf[None], (nbuckets, 3, L, bsz))
+
+    # shifts must stay UNSIGNED: mixing a uint32 mask with the int32
+    # program id promotes to int32 and turns >> into an ARITHMETIC shift,
+    # smearing bit 31 (the window-31 carry) across all carry bits
+    w_u = w_id.astype(jnp.uint32)
+
+    def step(i, _):
+        row = sc_ref[i, limb]
+        raw = ((row >> shift) & dmask).astype(jnp.int32)
+        mk = masks_ref[i]  # (BB,) uint32
+        ci = ((mk >> w_u) & 1).astype(jnp.int32)
+        co = (((mk >> w_u) >> jnp.uint32(1)) & 1).astype(jnp.int32)
+        d = raw + ci - (co << c)  # top window's carry-out bit is never set
+        p = _negate_y_sel(pts_ref[i], d < 0)
+        _gather_scatter_step(out_ref, 0, jnp.abs(d), p, nbuckets, bsz)
         return 0
 
     jax.lax.fori_loop(0, chunk, step, 0)
@@ -257,12 +319,96 @@ bucket_accumulate_from_scalars_donated = jax.jit(
 )
 
 
+def signed_table_size(c: int) -> int:
+    """Bucket-table rows for signed digits: live range 0..2^(c-1), padded
+    up to a multiple of 64 so _gather_scatter_step's blocked scan divides
+    evenly (e.g. c=8: 129 live -> 192 rows vs 256 unsigned)."""
+    live = (1 << (c - 1)) + 1
+    return -(-live // 64) * 64 if live > 64 else live
+
+
+def _bucket_accumulate_from_scalars_signed_impl(
+    pts_stream: jnp.ndarray,
+    sc_stream: jnp.ndarray,
+    masks: jnp.ndarray,
+    c: int,
+    chunk: int = DEFAULT_CHUNK // 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(S, 2, L, B) points x (S, L, B) STANDARD scalars x (S, B) carry
+    bitmasks -> (W, signed_table_size(c), 3, L, B) buckets holding the
+    SIGNED-digit accumulation (bucket |d|, y negated for d < 0). Rows
+    past 2^(c-1) stay at infinity (table padding)."""
+    assert 16 % c == 0, "in-kernel digits need c dividing the limb width"
+    s, _, _, b = pts_stream.shape
+    nbuckets = signed_table_size(c)
+    w = 256 // c
+    chunk = min(chunk, s)
+    nchunks = -(-s // chunk)
+    pad = nchunks * chunk - s
+    if pad:
+        pts_stream = jnp.concatenate(
+            [pts_stream, jnp.zeros((pad, 2, L, b), jnp.uint32)], axis=0
+        )
+        sc_stream = jnp.concatenate(
+            [sc_stream, jnp.zeros((pad, L, b), jnp.uint32)], axis=0
+        )
+        masks = jnp.concatenate([masks, jnp.zeros((pad, b), jnp.uint32)], axis=0)
+    bb = min(128, b)
+    nbb = -(-b // bb)
+    bpad = nbb * bb - b
+    if bpad:
+        pts_stream = jnp.concatenate(
+            [pts_stream, jnp.zeros(pts_stream.shape[:-1] + (bpad,), jnp.uint32)],
+            axis=-1,
+        )
+        sc_stream = jnp.concatenate(
+            [sc_stream, jnp.zeros(sc_stream.shape[:-1] + (bpad,), jnp.uint32)],
+            axis=-1,
+        )
+        masks = jnp.concatenate(
+            [masks, jnp.zeros((masks.shape[0], bpad), jnp.uint32)], axis=-1
+        )
+
+    kern = functools.partial(
+        _accum_kernel_sc_signed, c=c, nbuckets=nbuckets, chunk=chunk
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(w, nbb, nchunks),
+        in_specs=[
+            pl.BlockSpec(
+                (chunk, L, bb), lambda i, k, j: (j, 0, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, bb), lambda i, k, j: (j, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, 2, L, bb),
+                lambda i, k, j: (j, 0, 0, k),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nbuckets, 3, L, bb),
+            lambda i, k, j: (i, 0, 0, 0, k),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (w, nbuckets, 3, L, nbb * bb), jnp.uint32
+        ),
+        interpret=interpret,
+    )(sc_stream, masks, pts_stream)
+    return out[..., :b]
+
+
 def _bucket_accumulate_impl(
     pts_stream: jnp.ndarray,
     digits: jnp.ndarray,
     c: int,
     chunk: int = DEFAULT_CHUNK,
     interpret: bool = False,
+    signed: bool = False,
 ) -> jnp.ndarray:
     """(S, 2, L, B) points x (W, S, B) int32 digits -> (W, 2^c, 3, L, B)
     buckets (bucket 0 collects zero digits; excluded by the caller).
@@ -278,7 +424,7 @@ def _bucket_accumulate_impl(
     stays resident across its whole point stream.
     """
     w, s, b = digits.shape
-    nbuckets = 1 << c
+    nbuckets = signed_table_size(c) if signed else 1 << c
     chunk = min(chunk, s)
     nchunks = -(-s // chunk)
     pad = nchunks * chunk - s
@@ -302,7 +448,9 @@ def _bucket_accumulate_impl(
             [digits, jnp.zeros(digits.shape[:-1] + (bpad,), jnp.int32)], axis=-1
         )
 
-    kern = functools.partial(_accum_kernel, nbuckets=nbuckets, chunk=chunk)
+    kern = functools.partial(
+        _accum_kernel, nbuckets=nbuckets, chunk=chunk, signed=signed
+    )
     out = pl.pallas_call(
         kern,
         grid=(w, nbb, nchunks),
@@ -329,9 +477,21 @@ def _bucket_accumulate_impl(
     return out[..., :b]
 
 
-bucket_accumulate = jax.jit(_bucket_accumulate_impl, static_argnames=_STATICS)
+bucket_accumulate = jax.jit(
+    _bucket_accumulate_impl, static_argnames=_STATICS + ("signed",)
+)
 bucket_accumulate_donated = jax.jit(
-    _bucket_accumulate_impl, static_argnames=_STATICS, donate_argnums=(0, 1)
+    _bucket_accumulate_impl,
+    static_argnames=_STATICS + ("signed",),
+    donate_argnums=(0, 1),
+)
+bucket_accumulate_from_scalars_signed = jax.jit(
+    _bucket_accumulate_from_scalars_signed_impl, static_argnames=_STATICS
+)
+bucket_accumulate_from_scalars_signed_donated = jax.jit(
+    _bucket_accumulate_from_scalars_signed_impl,
+    static_argnames=_STATICS,
+    donate_argnums=(0, 1, 2),
 )
 
 
@@ -393,22 +553,26 @@ def _suffix_horner_kernel(
         out_ref[...] = k_point_reduce(out_ref[...])
 
 
-def _single_tail(buckets, c: int, w: int, interpret: bool):
-    """Lane fold + suffix-scan/Horner tail of the single-MSM pipeline."""
+def _single_tail(buckets, c: int, w: int, interpret: bool, nbuckets=None):
+    """Lane fold + suffix-scan/Horner tail of the single-MSM pipeline.
+    ``nbuckets``: LIVE bucket rows (default 2^c; signed digits pass
+    2^(c-1)+1 and slice off the table padding first)."""
     from . import pallas_curve as PC
 
-    nbuckets = 1 << c
-    # (W, 2^c, 3, L, B) -> (W, B, 3, L, 2^c): bucket index into lanes
+    if nbuckets is None:
+        nbuckets = 1 << c
+    buckets = buckets[:, :nbuckets]
+    # (W, nb, 3, L, B) -> (W, B, 3, L, nb): bucket index into lanes
     t = jnp.transpose(buckets, (0, 4, 2, 3, 1))
     while t.shape[1] > 1:
         half = t.shape[1] // 2
         t = PC.add(t[:, :half], t[:, half:], interpret=interpret)
-    ws = t[:, 0]  # (W, 3, L, 2^c)
+    ws = t[:, 0]  # (W, 3, L, nb)
 
-    # pad the bucket-lane axis to a full 128-lane tile (small windows, e.g.
-    # c=6 from halved IPA rounds, otherwise hit Mosaic's dynamic-rotate
-    # sub-tile limitation)
-    lanes_total = max(nbuckets, 128)
+    # pad the bucket-lane axis to full 128-lane tiles (Mosaic's dynamic
+    # rotate requires them; also covers small windows, e.g. c=6 from
+    # halved IPA rounds, and the 129-live signed tables)
+    lanes_total = max(-(-nbuckets // 128) * 128, 128)
     if lanes_total != nbuckets:
         ws = jnp.concatenate(
             [ws, jnp.zeros(ws.shape[:-1] + (lanes_total - nbuckets,), jnp.uint32)],
@@ -559,16 +723,21 @@ def _msm_single_fused_impl(
     c: int,
     chunk: int = DEFAULT_CHUNK,
     interpret: bool = False,
+    signed: bool = False,
 ) -> jnp.ndarray:
     """Complete single-MSM pipeline: (S, 2, L, B) points x (W, S, B) digits
+    (balanced signed digits when ``signed``)
     -> one point (3, L, 1), same group element as msm_pippenger's XLA path
     (identical canonical affine; the projective representative differs
     because identity-adds are masked in XLA but computed through the
     complete formulas here)."""
     w, s, b = digits.shape
     assert b & (b - 1) == 0, "lane count must be a power of two"
-    buckets = _bucket_accumulate_impl(pts_stream, digits, c, chunk, interpret)
-    return _single_tail(buckets, c, w, interpret)
+    buckets = _bucket_accumulate_impl(
+        pts_stream, digits, c, chunk, interpret, signed=signed
+    )
+    live = (1 << (c - 1)) + 1 if signed else None
+    return _single_tail(buckets, c, w, interpret, nbuckets=live)
 
 
 def _msm_single_fused_sc_impl(
@@ -590,9 +759,41 @@ def _msm_single_fused_sc_impl(
     return _single_tail(buckets, c, w, interpret)
 
 
-msm_single_fused = jax.jit(_msm_single_fused_impl, static_argnames=_STATICS)
+def _msm_single_fused_sc_signed_impl(
+    pts_stream: jnp.ndarray,
+    sc_stream: jnp.ndarray,
+    masks: jnp.ndarray,
+    c: int,
+    chunk: int = DEFAULT_CHUNK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Signed-digit single-MSM pipeline with in-kernel digit derivation
+    from scalar limbs + carry bitmasks (ops/msm.py::signed_carries)."""
+    b = pts_stream.shape[-1]
+    assert b & (b - 1) == 0, "lane count must be a power of two"
+    w = 256 // c
+    buckets = _bucket_accumulate_from_scalars_signed_impl(
+        pts_stream, sc_stream, masks, c, min(chunk, DEFAULT_CHUNK // 2),
+        interpret,
+    )
+    return _single_tail(buckets, c, w, interpret, nbuckets=(1 << (c - 1)) + 1)
+
+
+msm_single_fused = jax.jit(
+    _msm_single_fused_impl, static_argnames=_STATICS + ("signed",)
+)
 msm_single_fused_donated = jax.jit(
-    _msm_single_fused_impl, static_argnames=_STATICS, donate_argnums=(0, 1)
+    _msm_single_fused_impl,
+    static_argnames=_STATICS + ("signed",),
+    donate_argnums=(0, 1),
+)
+msm_single_fused_sc_signed = jax.jit(
+    _msm_single_fused_sc_signed_impl, static_argnames=_STATICS
+)
+msm_single_fused_sc_signed_donated = jax.jit(
+    _msm_single_fused_sc_signed_impl,
+    static_argnames=_STATICS,
+    donate_argnums=(0, 1, 2),
 )
 msm_single_fused_sc = jax.jit(
     _msm_single_fused_sc_impl, static_argnames=_STATICS

@@ -24,7 +24,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import curve as dc
@@ -37,6 +37,17 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
+
+
+def _place(mesh: Mesh, *pairs):
+    """device_put each (array, spec) pair onto ``mesh``. Upstream producers
+    (notably the persistent-AOT programs, utils/aot.py) return arrays
+    COMMITTED to a single device; feeding those straight into a shard_map
+    over a wider mesh is an error — re-placing here also does the intended
+    initial distribution in one transfer."""
+    return tuple(
+        jax.device_put(a, NamedSharding(mesh, spec)) for a, spec in pairs
+    )
 
 
 def msm_sharded(
@@ -84,6 +95,9 @@ def msm_sharded(
         # construction and the only cross-shard op is the all_gather above
         check_vma=False,
     )
+    points_affine, scalars = _place(
+        mesh, (points_affine, P(None, None, axis)), (scalars, P(None, axis))
+    )
     return fn(points_affine, scalars)
 
 
@@ -118,6 +132,9 @@ def msm_batched_sharded(
         in_specs=(P(axis), P(axis)),
         out_specs=P(None, None, axis),  # result batch rides the lane axis
         check_vma=False,
+    )
+    points_affine, scalars = _place(
+        mesh, (points_affine, P(axis)), (scalars, P(axis))
     )
     return fn(points_affine, scalars)[..., :b]
 
@@ -155,5 +172,8 @@ def msm_fixed_base_sharded(
         in_specs=(P(), P(axis)),
         out_specs=P(None, None, axis),
         check_vma=False,
+    )
+    points_affine, scalars = _place(
+        mesh, (points_affine, P()), (scalars, P(axis))
     )
     return fn(points_affine, scalars)[..., :b]

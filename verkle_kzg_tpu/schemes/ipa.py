@@ -35,6 +35,7 @@ from ..ops.limbs import ints_to_limbs, limbs_to_ints
 from ..params import R, NLIMBS
 from ..poly import Domain, FrVector
 from ..utils import metrics
+from ..utils.aot import aot_jit
 from .generators import DEFAULT_IPA_SEED, ipa_generate_points
 
 L = NLIMBS
@@ -177,14 +178,23 @@ def _fused_ipa_loop(g, a, b, q_proj, state, dst: bytes, with_q: bool):
     return (stacked, tip_std, eval_std) if with_q else (stacked, tip_std)
 
 
-@functools.partial(jax.jit, static_argnames=("dst",))
-def _fused_prove_program(g, a, b, q_proj, state, dst: bytes):
-    return _fused_ipa_loop(g, a, b, q_proj, state, dst, with_q=True)
-
-
-@functools.partial(jax.jit, static_argnames=("dst",))
-def _fused_commit_proof_program(g, a, state, dst: bytes):
-    return _fused_ipa_loop(g, a, None, None, state, dst, with_q=False)
+# persistent-AOT entries: the unrolled halving loop with in-circuit
+# SHA-256 is the single most expensive TRACE in the package; exporting the
+# StableHLO makes cold-process proves skip it (utils/aot.py)
+_fused_prove_program = aot_jit(
+    lambda g, a, b, q_proj, state, dst: _fused_ipa_loop(
+        g, a, b, q_proj, state, dst, with_q=True
+    ),
+    "ipa_fused_prove",
+    static_argnames=("dst",),
+)
+_fused_commit_proof_program = aot_jit(
+    lambda g, a, state, dst: _fused_ipa_loop(
+        g, a, None, None, state, dst, with_q=False
+    ),
+    "ipa_fused_commit_proof",
+    static_argnames=("dst",),
+)
 
 
 def _state_to_device(t: Transcript) -> jnp.ndarray:
@@ -343,7 +353,7 @@ class IPA:
             return IPACommitProof(l=[], r=[], tip=_mont_to_int(a))
 
         pairs, tip_std = jax.device_get(
-            _fused_commit_proof_program(g, a, _state_to_device(t), t._dst)
+            _fused_commit_proof_program(g, a, _state_to_device(t), dst=t._dst)
         )
         l_pts, r_pts, tip = _unpack_fused(t, pairs, tip_std)
         return IPACommitProof(l=l_pts, r=r_pts, tip=tip)
@@ -427,7 +437,8 @@ def _low_level_ipa(
 
     pairs, tip_std, eval_std = jax.device_get(
         _fused_prove_program(
-            params.g_proj[..., :n], a, b, params.q_proj, _state_to_device(t), t._dst
+            params.g_proj[..., :n], a, b, params.q_proj, _state_to_device(t),
+            dst=t._dst,
         )
     )  # ONE transfer for the whole proof
     # replay the pre-loop digests host-side (they need eval_, now known)

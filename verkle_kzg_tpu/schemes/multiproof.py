@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from ..fiatshamir.transcript import Transcript
 from ..utils import metrics
+from ..utils.aot import aot_jit
 from ..hostmath.field import fr_batch_inverse
 from ..ops import curve as dc
 from ..ops import field as df
@@ -74,8 +75,7 @@ class Multiproof:
 _SCATTER_BLOCK = 1 << 15  # lazy uint32 columns overflow past ~2^16 terms
 
 
-@functools.partial(jax.jit, static_argnames="zp")
-def _scale_and_group(data_stack, r_pows, z_compact, zp: int):
+def _scale_and_group_impl(data_stack, r_pows, z_compact, zp: int):
     """Scale each query's data by r^i and scatter-sum into COMPACT per-z
     rows (one row per DISTINCT opening point, not per domain point — the
     round-1 advisor flagged the dense variant's O(N^2) invdiff + all-N
@@ -101,8 +101,7 @@ def _scale_and_group(data_stack, r_pows, z_compact, zp: int):
     return scaled, grouped
 
 
-@jax.jit
-def _quotients_sum(grouped, invdiff_rows, vanishing, vanishing_inv, z_vals):
+def _quotients_sum_impl(grouped, invdiff_rows, vanishing, vanishing_inv, z_vals):
     """g(x) = sum over the distinct opening points z of
     quotient(grouped[z-row], z). grouped/invdiff_rows: (Zq, L, N);
     z_vals: (Zq,) int32 actual domain indices (duplicated padding rows
@@ -118,12 +117,20 @@ def _quotients_sum(grouped, invdiff_rows, vanishing, vanishing_inv, z_vals):
     return df.lazy_sum(q, 0, "fr")
 
 
-@jax.jit
-def _h_accumulate(scaled, inv_factors):
+def _h_accumulate_impl(scaled, inv_factors):
     """h(x) = sum_m scaled_m * (1/(t - z_m)) — ``multiproof.rs:161-166``.
     scaled: (M, L, N); inv_factors: (M, L, 1)."""
     terms = df.mont_mul(scaled, jnp.broadcast_to(inv_factors, scaled.shape), "fr")
     return df.lazy_sum(terms, 0, "fr")
+
+
+# persistent-AOT entries (utils/aot.py): the multiproof device programs
+# are fixed-shape per (M, N) and re-trace expensively in a cold process
+_scale_and_group = aot_jit(
+    _scale_and_group_impl, "mp_scale_group", static_argnames=("zp",)
+)
+_quotients_sum = aot_jit(_quotients_sum_impl, "mp_quotients_sum")
+_h_accumulate = aot_jit(_h_accumulate_impl, "mp_h_accumulate")
 
 
 def _absorb_queries(t: Transcript, queries) -> None:
@@ -173,7 +180,7 @@ def prove_multiproof(scheme, params, queries: list, mesh=None) -> Multiproof:
     z_compact = jnp.asarray([z_of[q.z] for q in queries], dtype=jnp.int32)
     z_vals = jnp.asarray(zs + [0] * (zp - len(zs)), dtype=jnp.int32)
 
-    scaled, grouped = _scale_and_group(data_stack, r_pows, z_compact, zp)
+    scaled, grouped = _scale_and_group(data_stack, r_pows, z_compact, zp=zp)
 
     g_vals = _quotients_sum(
         grouped,

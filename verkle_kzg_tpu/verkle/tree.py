@@ -42,12 +42,12 @@ import numpy as np
 from ..ops.limbs import ints_to_limbs
 from ..params import R
 from ..utils import metrics
+from ..utils.aot import aot_jit
 
 INTERNAL_WIDTH = 256  # hardcoded in the reference (node.rs:263-264)
 
 
-@functools.partial(jax.jit, static_argnames="t")
-def _sparse_commit_device(basis_aff, flat_idx, scal_std, t: int):
+def _sparse_commit_device_impl(basis_aff, flat_idx, scal_std, t: int):
     """(2, L, W) basis x (B*T,) lane indices x (L, B*T) standard scalars
     -> (3, L, B) commitments: batched double-and-add over the gathered
     basis points, then a log-depth fold of each node's T terms."""
@@ -61,6 +61,17 @@ def _sparse_commit_device(basis_aff, flat_idx, scal_std, t: int):
         half = prods.shape[0] // 2
         prods = dc.add(prods[:half], prods[half:])
     return prods[0]
+
+
+# persistent-AOT entries for the two node-commit device programs: a cold
+# process re-paid ~25-30 s of Python tracing per round-2 measurement even
+# with the XLA compile cache warm; the exported StableHLO skips it
+_sparse_commit_device = aot_jit(
+    _sparse_commit_device_impl, "verkle_sparse_commit", static_argnames=("t",)
+)
+_dense_commit_device = aot_jit(
+    dmsm._msm_fixed_base_impl, "verkle_dense_commit", static_argnames=("c",)
+)
 
 
 
@@ -310,7 +321,9 @@ class VerkleTree:
 
                 pts = msm_fixed_base_sharded(basis, scalars, self.mesh)
             else:
-                pts = dmsm.msm_fixed_base(basis, scalars)  # (3, L, B)
+                metrics.record("msm.fixed_base.calls")
+                metrics.record("msm.fixed_base.points", padded * width)
+                pts = _dense_commit_device(basis, scalars)  # (3, L, B)
             out.extend(dc.projective_to_host_points(pts)[:b])
         return out
 
@@ -341,7 +354,9 @@ class VerkleTree:
                 for col, j in enumerate(ix):
                     scal_ints[base_off + col] = d[j] % R
             scal = jnp.asarray(ints_to_limbs(scal_ints).T)  # (L, padded*t)
-            pts = _sparse_commit_device(basis, jnp.asarray(idx.reshape(-1)), scal, t)
+            pts = _sparse_commit_device(
+                basis, jnp.asarray(idx.reshape(-1)), scal, t=t
+            )
             out.extend(dc.projective_to_host_points(pts)[:b])
         return out
 
