@@ -31,6 +31,36 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+# XLA:CPU's LoadedExecutable.serialize() sporadically SIGSEGVs in long
+# multi-compile pytest processes (observed twice in round 3: the FIRST
+# serialize in a fresh process succeeds, a later one after many compiles
+# dies inside put_executable_and_time). Until the upstream bug is gone,
+# run each persistent-cache write in a forked child: a crash there loses
+# one cache entry (recompiled next run), never the suite. The child is
+# alarm-bounded in case the post-fork serialize deadlocks on a thread-pool
+# mutex instead of crashing.
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+_orig_put = _cc.put_executable_and_time
+
+
+def _forked_put(cache_key, module_name, executable, backend, compile_time):
+    pid = os.fork()
+    if pid == 0:  # child
+        code = 1
+        try:
+            import signal
+
+            signal.alarm(300)
+            _orig_put(cache_key, module_name, executable, backend, compile_time)
+            code = 0
+        finally:
+            os._exit(code)  # never run pytest/atexit machinery in the child
+    os.waitpid(pid, 0)
+
+
+_cc.put_executable_and_time = _forked_put
+
 
 # ---------------------------------------------------------------------------
 # Slow-test gating: the DEFAULT `pytest tests/` run is the CI gate and must

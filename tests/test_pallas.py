@@ -101,27 +101,34 @@ def test_bucket_accumulate_matches_xla_loop():
     assert jnp.all(got == want)
 
 
-def test_msm_batched_pallas_branch(monkeypatch):
+@pytest.mark.parametrize("signed", [False, True])
+def test_msm_batched_pallas_branch(monkeypatch, signed):
     """Drives msm_batched + msm_fixed_base through the FULL pallas branch
     (bucket_accumulate + batched_bucket_tail) in interpret mode — the
-    production verkle node-commit path on TPU — against the XLA path.
+    production verkle node-commit path on TPU — against the XLA path and
+    the host oracle, with balanced signed digits both off and on.
     Compares canonical affine (the projective representative legitimately
     differs: XLA masks identity-adds, pallas runs complete formulas)."""
     rng = random.Random(55)
     n, b = 64, 4
-    affs, scals = [], []
+    monkeypatch.setattr(msm, "_signed_default", lambda: signed)
+    affs, scals, hosts, ints_b = [], [], [], []
     for i in range(b):
-        _, aff = _point_batch(n, 100 + i)
+        host, aff = _point_batch(n, 100 + i)
         affs.append(aff)
+        hosts.append(host)
         ints = [rng.getrandbits(254) % R for _ in range(n)]
         ints[i] = 0  # a zero scalar per lane exercises bucket 0
+        ints_b.append(ints)
         scals.append(jnp.asarray(ints_to_limbs(ints).T))
     pts = jnp.stack(affs)  # (B, 2, L, N)
     scs = jnp.stack(scals)  # (B, L, N)
+    oracle = [hc.g1_msm_naive(h, k) for h, k in zip(hosts, ints_b)]
 
     monkeypatch.setattr(msm, "_pallas_mode", lambda: "off")
     want_b = C.projective_to_host_points(msm.msm_batched(pts, scs, c=4))
     want_f = C.projective_to_host_points(msm.msm_fixed_base(pts[0], scs, c=4))
+    assert want_b == oracle
 
     monkeypatch.setattr(msm, "_pallas_mode", lambda: "interpret")
     got_b = C.projective_to_host_points(msm.msm_batched(pts, scs, c=4))
@@ -162,9 +169,13 @@ def test_msm_pippenger_signed_pallas(monkeypatch):
     pa = C.host_points_to_affine(pts)
     s = jnp.asarray(ints_to_limbs(ks).T)
     want = hc.g1_msm_naive(pts, ks)
-    # c=8 divides 16 -> in-kernel scalar+mask variant
+    # c=8 divides 16 -> in-kernel scalar+mask variant (W=32: 2 carry words)
     got_sc = msm.msm_pippenger(pa, s, c=8, lanes=4, signed=True)
     assert C.projective_to_host_points(got_sc)[0] == want
+    # c=4 -> W=64: 3 packed carry words, exercises the word-boundary
+    # carry-out read (bit 32 of word 1 for window 31)
+    got_c4 = msm.msm_pippenger(pa, s, c=4, lanes=4, signed=True)
+    assert C.projective_to_host_points(got_c4)[0] == want
     # c=7 -> digit-tensor signed variant
     got_dg = msm.msm_pippenger(pa, s, c=7, lanes=4, signed=True)
     assert C.projective_to_host_points(got_dg)[0] == want

@@ -163,28 +163,36 @@ def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.moveaxis(digits, -2, 0)
 
 
+def carry_mask_words(w: int) -> int:
+    """uint32 words per scalar for the packed carry bitmask: bits 0..W
+    must be addressable (the kernel reads bit w+1 as window w's carry-OUT;
+    bit W itself is always 0, but the read must stay in bounds)."""
+    return w // 32 + 1
+
+
 def signed_carries(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
-    """(..., L, N) standard scalars -> (..., N) uint32 carry bitmask for
-    balanced signed-digit recoding: bit w = carry INTO window w, i.e.
-    [scalar mod 2^(cw) > 2^(cw-1)]. Bit 0 is always 0; the carry out of the
-    top window is 0 for scalars < 2^254 (Fr), so 32 bits always suffice
-    (c >= 8 -> W <= 32)."""
+    """(..., L, N) standard scalars -> (..., nwords, N) uint32 packed carry
+    bitmask for balanced signed-digit recoding: bit w (of word w//32) =
+    carry INTO window w, i.e. [scalar mod 2^(cw) > 2^(cw-1)], ties broken
+    toward carry iff the low part is nonzero. Bit 0 is always 0; the carry
+    out of the top window is 0 for scalars < 2^254 (Fr), so the top word's
+    spill bit always reads 0."""
     raw = window_digits(scalars, c)  # (W, ..., N) uint32
     w = raw.shape[0]
-    assert w <= 32, "carry mask packs into uint32 (need c >= 8)"
+    nwords = carry_mask_words(w)
     h = jnp.uint32(1 << (c - 1))
-    mask = jnp.zeros(raw.shape[1:], jnp.uint32)
+    words = [jnp.zeros(raw.shape[1:], jnp.uint32) for _ in range(nwords)]
     nz = jnp.zeros(raw.shape[1:], jnp.bool_)  # [scalar mod 2^(cw) != 0]
-    carry = jnp.zeros(raw.shape[1:], jnp.bool_)
-    for i in range(1, w + 1):
+    for i in range(1, w):  # carry out of the top window is 0 (docstring)
         r = raw[i - 1]
         # low_{i} = r*2^(c(i-1)) + low_{i-1} > 2^(ci-1)  <=>
         #   r > 2^(c-1)  or  (r == 2^(c-1) and low_{i-1} > 0)
         carry = (r > h) | ((r == h) & nz)
-        if i < w:  # carry out of the top window is 0 (see docstring)
-            mask = mask | jnp.where(carry, jnp.uint32(1) << i, 0)
+        words[i >> 5] = words[i >> 5] | jnp.where(
+            carry, jnp.uint32(1) << (i & 31), 0
+        )
         nz = nz | (r != 0)
-    return mask
+    return jnp.stack(words, axis=-2)  # (..., nwords, N)
 
 
 def window_digits_signed(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -195,7 +203,7 @@ def window_digits_signed(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
 
     Uses a direct LSB-first carry chain (d > 2^(c-1) -> emit d - 2^c,
     carry 1), so it works for ANY window width / count — unlike the packed
-    32-bit mask of signed_carries (in-kernel path, c in {8, 16}). The two
+    carry mask of signed_carries (in-kernel path, 16 % c == 0). The two
     recodings may differ at exact-tie windows (d == 2^(c-1)) but both are
     valid balanced decompositions of the same scalar; only the group
     element is contract."""
@@ -243,10 +251,11 @@ def msm_pippenger(
     ``c``: window bits (2^c buckets/window unsigned, 2^(c-1)+1 signed;
     bucket 0 unused); ``lanes``: accumulation lanes (VPU width
     multiplier); ``signed``: balanced signed-digit windows (default from
-    VKZG_SIGNED; needs c >= 8 for the 32-bit carry mask)."""
+    VKZG_SIGNED) — the per-step bucket-table scan is the fused kernel's
+    dominant cost and signed digits halve the live table."""
     n = points_affine.shape[-1]
     if signed is None:
-        signed = _signed_default() and c >= 8
+        signed = _signed_default()
     # the fused pallas pipeline wants a power-of-two lane count (lane-fold
     # halvings); round a caller-supplied lane count DOWN to one (a non-pow2
     # value, e.g. via BENCH_LANES, would otherwise only trip the pallas
@@ -279,11 +288,14 @@ def msm_pippenger(
         # HBM is reused under the kernel; at 2^22 the point stream alone
         # is 0.5 GB). Donation is a no-op when traced inside an outer jit.
         pts_stream = jnp.moveaxis(pts, 2, 0)
-        if signed and 16 % c == 0 and c >= 8:
+        if signed and 16 % c == 0:
             # digits + signs derived IN-KERNEL from the scalar limbs plus a
-            # 1-word-per-scalar carry bitmask
+            # packed carry bitmask (carry_mask_words words per scalar)
             sc_stream = jnp.moveaxis(scalars.reshape(L, steps, lanes), 1, 0)
-            masks = signed_carries(scalars, c).reshape(steps, lanes)
+            nwords = carry_mask_words(w)
+            masks = jnp.moveaxis(
+                signed_carries(scalars, c).reshape(nwords, steps, lanes), 1, 0
+            )  # (steps, nwords, lanes)
             return PM.msm_single_fused_sc_signed_donated(
                 pts_stream, sc_stream, masks, c,
                 interpret=(mode == "interpret"),
@@ -346,14 +358,18 @@ def msm_pippenger(
     return jax.lax.fori_loop(0, w, horner, C.infinity((), 1))
 
 
-def _msm_lanewise(pts_stream, digits, nbuckets: int, c: int) -> jnp.ndarray:
+def _msm_lanewise(
+    pts_stream, digits, nbuckets: int, c: int, signed: bool = False
+) -> jnp.ndarray:
     """Core batched Pippenger with the MSM-batch in the LANE axis.
 
     pts_stream: (N, 2, L, B) — point s for every lane b (broadcast for a
-    fixed base); digits: (W, N, B). Each lane owns a private bucket array,
-    so there is no lane merge — a lane IS an independent MSM.
+    fixed base); digits: (W, N, B), balanced signed digits (bucket |d|,
+    y negated for d < 0) when ``signed``. Each lane owns a private bucket
+    array, so there is no lane merge — a lane IS an independent MSM.
     Returns (3, L, B)."""
     w, n, b = digits.shape
+    live = (1 << (c - 1)) + 1 if signed else nbuckets
     mode = _pallas_mode()
     if mode != "off":
         # both streams are locally-created temporaries (moveaxis/broadcast
@@ -362,30 +378,39 @@ def _msm_lanewise(pts_stream, digits, nbuckets: int, c: int) -> jnp.ndarray:
         # hundreds of MB of transient HBM (SURVEY §5 aliasing row).
         buckets = PM.bucket_accumulate_donated(
             pts_stream, digits.astype(jnp.int32), c,
-            interpret=(mode == "interpret"),
+            interpret=(mode == "interpret"), signed=signed,
         )
-        if c <= 6:
+        if c <= (7 if signed else 6):
             # batched tail (per-lane weighted sums + Horner) in pallas too:
-            # the XLA suffix scans over (W, 2^c-1, 3, L, B) arrays dominate
-            # verkle commit passes otherwise. c > 6 would blow the tail
-            # kernel's VMEM budget (2^c x 3 x L x 128 working copies) —
+            # the XLA suffix scans over (W, live-1, 3, L, B) arrays dominate
+            # verkle commit passes otherwise. Larger c would blow the tail
+            # kernel's VMEM budget (live x 3 x L x 128 working copies) —
             # those configs fall through to the XLA tail below.
             return PM.batched_bucket_tail_donated(
-                buckets, c, interpret=(mode == "interpret")
+                buckets, c, interpret=(mode == "interpret"),
+                nbuckets=live if signed else None,
             )
+        buckets = buckets[:, :live]
     else:
-        buckets0 = C.infinity((w, nbuckets), b)  # (W, 2^c, 3, L, B)
+        buckets0 = C.infinity((w, live), b)  # (W, live, 3, L, B)
+        if signed:
+            signs = digits < 0  # (W, N, B)
+            digits = jnp.abs(digits)
+            neg_y = F.neg(pts_stream[:, 1], "fq")  # (N, L, B)
 
         def step(s, buckets):
             d = digits[:, s, :].astype(jnp.int32)  # (W, B)
             cur = _gather_buckets(buckets, d)  # (W, 3, L, B)
             p = jnp.broadcast_to(pts_stream[s][None], (w, 2, L, b))
+            if signed:
+                y = jnp.where(signs[:, s, None, :], neg_y[s][None], p[:, 1])
+                p = jnp.concatenate([p[:, 0:1], y[:, None]], axis=1)
             new = _mixed_add(cur, p)
             return _scatter_buckets(buckets, d, new)
 
         buckets = jax.lax.fori_loop(0, n, step, buckets0)
 
-    body = buckets[:, 1:]  # drop bucket 0
+    body = buckets[:, 1:live]  # drop bucket 0 + any table padding
     s1 = suffix_scan_points(body, axis=1)
     window_sums = suffix_scan_points(s1, axis=1)[:, 0]  # (W, 3, L, B)
 
@@ -408,10 +433,12 @@ def _auto_c(n: int, c: int | None) -> int:
     return c if c is not None else min(8, max(2, n.bit_length() - 1))
 
 
-def _auto_c_batched(n: int, c: int | None) -> int:
+def _auto_c_batched(n: int, c: int | None, signed: bool = False) -> int:
     """Window width for the lane-batched path: the bucket suffix scans cost
-    W * 2^c point-adds PER MSM (they don't amortize over a big N like the
-    single-MSM path), so the optimum is near sqrt: c ~ log2(N)/2 + 1."""
+    W * live point-adds PER MSM (they don't amortize over a big N like the
+    single-MSM path), so the optimum is near sqrt: c ~ log2(N)/2 + 1.
+    Signed digits halve the live table at the same c (a straight win for
+    the per-step table scan), so the formula is kept unchanged."""
     return c if c is not None else min(6, max(2, (n.bit_length() - 1) // 2 + 1))
 
 
@@ -424,11 +451,12 @@ def _msm_batched_impl(
     bsz, _, _, n = points_affine.shape
     if n < 64:
         return _batched_naive(C.from_affine(points_affine), scalars)
-    c = _auto_c_batched(n, c)
+    signed = _signed_default()
+    c = _auto_c_batched(n, c, signed)
+    dig = window_digits_signed(scalars, c) if signed else window_digits(scalars, c)
+    digits = jnp.moveaxis(dig, -1, 1).astype(jnp.int32)  # (W, N, B)
     pts_stream = jnp.moveaxis(points_affine, (0, 3), (3, 0))  # (N, 2, L, B)
-    digits = window_digits(scalars, c)  # (W, B, N)
-    digits = jnp.moveaxis(digits, -1, 1)  # (W, N, B)
-    return _msm_lanewise(pts_stream, digits, 1 << c, c)
+    return _msm_lanewise(pts_stream, digits, 1 << c, c, signed=signed)
 
 
 def msm_batched(
@@ -460,12 +488,14 @@ def _msm_fixed_base_impl(
             C.from_affine(points_affine)[None], (b, 3, L, n)
         )
         return _batched_naive(pts, scalars)
-    c = _auto_c_batched(n, c)
+    signed = _signed_default()
+    c = _auto_c_batched(n, c, signed)
     pts_stream = jnp.broadcast_to(
         jnp.moveaxis(points_affine, -1, 0)[..., None], (n, 2, L, b)
     )
-    digits = jnp.moveaxis(window_digits(scalars, c), -1, 1)  # (W, N, B)
-    return _msm_lanewise(pts_stream, digits, 1 << c, c)
+    dig = window_digits_signed(scalars, c) if signed else window_digits(scalars, c)
+    digits = jnp.moveaxis(dig, -1, 1).astype(jnp.int32)  # (W, N, B)
+    return _msm_lanewise(pts_stream, digits, 1 << c, c, signed=signed)
 
 
 def msm_fixed_base(

@@ -193,11 +193,12 @@ def _accum_kernel_sc_signed(
     sc_ref, masks_ref, pts_ref, out_ref, *, c: int, nbuckets: int, chunk: int
 ):
     """Signed-digit variant of _accum_kernel_sc: the balanced digit is
-    derived in-kernel from the raw window digit plus a streamed carry
-    bitmask (masks_ref: (CH, BB) uint32, bit w = carry INTO window w — one
-    word per scalar, see ops/msm.py::signed_carries). Bucket = |d| (live
-    range 0..2^(c-1), table padded to ``nbuckets``); the point's y is
-    negated where d < 0."""
+    derived in-kernel from the raw window digit plus a streamed packed
+    carry bitmask (masks_ref: (CH, NWORDS, BB) uint32, bit w of word w//32
+    = carry INTO window w, see ops/msm.py::signed_carries; word count
+    covers bit W so the top window's carry-out read stays in bounds and
+    reads 0). Bucket = |d| (live range 0..2^(c-1), table padded to
+    ``nbuckets``); the point's y is negated where d < 0."""
     w_id = pl.program_id(0)
     s_chunk = pl.program_id(2)
     bsz = out_ref.shape[-1]
@@ -214,15 +215,17 @@ def _accum_kernel_sc_signed(
 
     # shifts must stay UNSIGNED: mixing a uint32 mask with the int32
     # program id promotes to int32 and turns >> into an ARITHMETIC shift,
-    # smearing bit 31 (the window-31 carry) across all carry bits
-    w_u = w_id.astype(jnp.uint32)
+    # smearing bit 31 (a word's top carry) across all carry bits
+    b_in = (w_id % 32).astype(jnp.uint32)  # carry-IN bit within its word
+    wd_in = w_id // 32
+    b_out = ((w_id + 1) % 32).astype(jnp.uint32)
+    wd_out = (w_id + 1) // 32
 
     def step(i, _):
         row = sc_ref[i, limb]
         raw = ((row >> shift) & dmask).astype(jnp.int32)
-        mk = masks_ref[i]  # (BB,) uint32
-        ci = ((mk >> w_u) & 1).astype(jnp.int32)
-        co = (((mk >> w_u) >> jnp.uint32(1)) & 1).astype(jnp.int32)
+        ci = ((masks_ref[i, wd_in] >> b_in) & 1).astype(jnp.int32)
+        co = ((masks_ref[i, wd_out] >> b_out) & 1).astype(jnp.int32)
         d = raw + ci - (co << c)  # top window's carry-out bit is never set
         p = _negate_y_sel(pts_ref[i], d < 0)
         _gather_scatter_step(out_ref, 0, jnp.abs(d), p, nbuckets, bsz)
@@ -335,12 +338,13 @@ def _bucket_accumulate_from_scalars_signed_impl(
     chunk: int = DEFAULT_CHUNK // 2,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(S, 2, L, B) points x (S, L, B) STANDARD scalars x (S, B) carry
-    bitmasks -> (W, signed_table_size(c), 3, L, B) buckets holding the
-    SIGNED-digit accumulation (bucket |d|, y negated for d < 0). Rows
-    past 2^(c-1) stay at infinity (table padding)."""
+    """(S, 2, L, B) points x (S, L, B) STANDARD scalars x (S, NWORDS, B)
+    packed carry bitmasks -> (W, signed_table_size(c), 3, L, B) buckets
+    holding the SIGNED-digit accumulation (bucket |d|, y negated for
+    d < 0). Rows past 2^(c-1) stay at infinity (table padding)."""
     assert 16 % c == 0, "in-kernel digits need c dividing the limb width"
     s, _, _, b = pts_stream.shape
+    nwords = masks.shape[1]
     nbuckets = signed_table_size(c)
     w = 256 // c
     chunk = min(chunk, s)
@@ -353,7 +357,9 @@ def _bucket_accumulate_from_scalars_signed_impl(
         sc_stream = jnp.concatenate(
             [sc_stream, jnp.zeros((pad, L, b), jnp.uint32)], axis=0
         )
-        masks = jnp.concatenate([masks, jnp.zeros((pad, b), jnp.uint32)], axis=0)
+        masks = jnp.concatenate(
+            [masks, jnp.zeros((pad, nwords, b), jnp.uint32)], axis=0
+        )
     bb = min(128, b)
     nbb = -(-b // bb)
     bpad = nbb * bb - b
@@ -367,7 +373,7 @@ def _bucket_accumulate_from_scalars_signed_impl(
             axis=-1,
         )
         masks = jnp.concatenate(
-            [masks, jnp.zeros((masks.shape[0], bpad), jnp.uint32)], axis=-1
+            [masks, jnp.zeros(masks.shape[:-1] + (bpad,), jnp.uint32)], axis=-1
         )
 
     kern = functools.partial(
@@ -381,7 +387,9 @@ def _bucket_accumulate_from_scalars_signed_impl(
                 (chunk, L, bb), lambda i, k, j: (j, 0, k), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (chunk, bb), lambda i, k, j: (j, k), memory_space=pltpu.VMEM
+                (chunk, nwords, bb),
+                lambda i, k, j: (j, 0, k),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (chunk, 2, L, bb),
@@ -659,21 +667,29 @@ def _batched_tail_kernel(
 
 
 def _batched_bucket_tail_impl(
-    buckets: jnp.ndarray, c: int, interpret: bool = False
+    buckets: jnp.ndarray, c: int, interpret: bool = False,
+    nbuckets: int | None = None,
 ) -> jnp.ndarray:
-    """(W, 2^c, 3, L, B) buckets -> (3, L, B): per-lane double-suffix-scan
+    """(W, rows, 3, L, B) buckets -> (3, L, B): per-lane double-suffix-scan
     weighted sums + Horner over windows, entirely in VMEM. Same GROUP
     element per lane as the XLA tail in ops/msm.py::_msm_lanewise (the
     projective representative may differ: XLA masks identity-adds, this
     kernel runs them through the complete formulas).
 
+    ``nbuckets``: LIVE bucket rows (default 2^c; signed digits pass
+    2^(c-1)+1 and the table padding past it is sliced off first).
+
     Lane blocks of <=128 ride a leading grid dim; the window grid dim is
     innermost so each lane block's Horner accumulator (the output block)
     stays VMEM-resident across all W windows. VMEM peak ~ a few copies of
-    the (2^c, 3, L, 128) block — fits the 16 MB budget for c <= 6 (the
-    batched path's _auto_c_batched cap; larger c must use the XLA tail)."""
-    w, nbuckets, _, _, b = buckets.shape
-    assert nbuckets == 1 << c
+    the (2^c, 3, L, 128) block — fits the 16 MB budget for c <= 6 unsigned
+    / c <= 7 signed (the _auto_c_batched caps; larger c must use the XLA
+    tail)."""
+    w, rows, _, _, b = buckets.shape
+    if nbuckets is None:
+        nbuckets = 1 << c
+    assert rows >= nbuckets
+    buckets = buckets[:, :nbuckets]
     bb = min(128, b)
     nbb = -(-b // bb)
     bpad = nbb * bb - b
@@ -706,13 +722,13 @@ def _batched_bucket_tail_impl(
 
 
 batched_bucket_tail = jax.jit(
-    _batched_bucket_tail_impl, static_argnames=("c", "interpret")
+    _batched_bucket_tail_impl, static_argnames=("c", "interpret", "nbuckets")
 )
 #: Donates the bucket tensor — the largest transient of the whole batched
 #: MSM pipeline (W x 2^c x 3 x L x B words); it is dead after the tail.
 batched_bucket_tail_donated = jax.jit(
     _batched_bucket_tail_impl,
-    static_argnames=("c", "interpret"),
+    static_argnames=("c", "interpret", "nbuckets"),
     donate_argnums=(0,),
 )
 

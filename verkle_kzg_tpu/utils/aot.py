@@ -74,10 +74,23 @@ def _disabled_checks():
     return [jexport.DisabledSafetyCheck.custom_call(c) for c in _CUSTOM_CALLS]
 
 
+@functools.cache
+def _source_digest() -> bytes:
+    """Content hash of the package's .py sources: an artifact must never
+    outlive the code that traced it (same name/shapes + edited internals
+    would silently run the OLD program otherwise)."""
+    pkg = pathlib.Path(__file__).resolve().parents[1]
+    h = hashlib.sha256()
+    for p in sorted(pkg.rglob("*.py")):
+        h.update(p.read_bytes())
+    return h.digest()
+
+
 def _key(name: str, args, statics) -> str:
     h = hashlib.sha256()
     h.update(jax.__version__.encode())
     h.update(jax.default_backend().encode())
+    h.update(_source_digest())
     h.update(name.encode())
     h.update(repr(statics).encode())
     for leaf in jax.tree_util.tree_leaves(args):
