@@ -19,7 +19,7 @@ overhead is ~50-100 ms and whose block_until_ready can return early, so we
 time K chained MSMs against 1 MSM (distinct inputs per link so XLA cannot
 CSE) and report the difference — pure device compute, no fixed overhead.
 
-Environment knobs: BENCH_LOG2N (default 20), BENCH_WINDOW_C (default 8),
+Environment knobs: BENCH_LOG2N (default 20), BENCH_WINDOW_C (default: mode-aware),
 BENCH_LANES (default 128), BENCH_CHAIN (default 4), BENCH_CHECK=1 to
 bit-verify the result against the native C++ oracle first.
 """
@@ -53,7 +53,8 @@ def main():
     from verkle_kzg_tpu.params import R
 
     log2n = int(os.environ.get("BENCH_LOG2N", "20"))
-    c = int(os.environ.get("BENCH_WINDOW_C", "8"))
+    c_env = os.environ.get("BENCH_WINDOW_C", "")
+    c = int(c_env) if c_env else None  # None -> mode-aware default (ops/msm._auto_c)
     lanes = int(os.environ.get("BENCH_LANES", "128"))
     chain = int(os.environ.get("BENCH_CHAIN", "4"))
     n = 1 << log2n

@@ -169,7 +169,8 @@ def bench_msm_sweep():
     lo = int(os.environ.get("BENCH_MSM_LO", "16"))
     hi = int(os.environ.get("BENCH_MSM_HI", "22"))
     lanes = int(os.environ.get("BENCH_LANES", "128"))
-    c = int(os.environ.get("BENCH_WINDOW_C", "8"))
+    c_env = os.environ.get("BENCH_WINDOW_C", "")
+    c = int(c_env) if c_env else None  # None -> mode-aware default (ops/msm._auto_c)
     nrng = np.random.default_rng(7)
 
     gen_chunk = 1 << int(os.environ.get("BENCH_GEN_CHUNK_LOG2", "17"))

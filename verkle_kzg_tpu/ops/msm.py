@@ -127,8 +127,6 @@ def _msm_auto_impl(
     n = points_affine.shape[-1]
     if n < 64:
         return fold_reduce_lanes(C.scalar_mul(C.from_affine(points_affine), scalars))
-    if c is None:
-        c = min(8, max(4, n.bit_length() - 1))
     return msm_pippenger(points_affine, scalars, c=c, lanes=lanes)
 
 
@@ -242,18 +240,20 @@ def _signed_default() -> bool:
 def msm_pippenger(
     points_affine: jnp.ndarray,
     scalars: jnp.ndarray,
-    c: int = 8,
+    c: int | None = None,
     lanes: int = 128,
     signed: bool | None = None,
 ) -> jnp.ndarray:
     """Single MSM of N (point, scalar) pairs -> one point (3, L, 1).
 
     ``c``: window bits (2^c buckets/window unsigned, 2^(c-1)+1 signed;
-    bucket 0 unused); ``lanes``: accumulation lanes (VPU width
-    multiplier); ``signed``: balanced signed-digit windows (default from
-    VKZG_SIGNED) — the per-step bucket-table scan is the fused kernel's
-    dominant cost and signed digits halve the live table."""
+    bucket 0 unused; default per dispatch mode — see _auto_c); ``lanes``:
+    accumulation lanes (VPU width multiplier); ``signed``: balanced
+    signed-digit windows (default from VKZG_SIGNED) — the per-step
+    bucket-table scan is the fused kernel's dominant cost and signed
+    digits shrink the live table."""
     n = points_affine.shape[-1]
+    c = _auto_c(n, c)
     if signed is None:
         signed = _signed_default()
     # the fused pallas pipeline wants a power-of-two lane count (lane-fold
@@ -430,7 +430,26 @@ def _batched_naive(points_proj: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarra
 
 
 def _auto_c(n: int, c: int | None) -> int:
-    return c if c is not None else min(8, max(2, n.bit_length() - 1))
+    """Window width for SINGLE MSMs, per dispatch mode. The two paths have
+    opposite optima:
+
+      * XLA path: buckets are gathered/scattered by index (O(1) in table
+        size), so cost ~ W mixed-adds per point — maximize c (=8).
+      * Pallas path: Mosaic has no per-lane dynamic indexing, so the
+        gather/scatter is a whole-table masked scan; per-point cost
+        ~ alpha*W*table_rows + beta*W with beta/alpha ~ 30-60 rows. The
+        signed c=4 table is 9 rows (vs 192 padded at signed c=8), putting
+        the optimum at SMALL c (tuned at 2^20, see BASELINE.md round 3).
+
+    VKZG_WINDOW_C overrides (and is part of the AOT store key)."""
+    if c is not None:
+        return c
+    env = _os.environ.get("VKZG_WINDOW_C")
+    if env:
+        return int(env)
+    if _pallas_mode() != "off":
+        return 4  # 16 % c == 0 keeps in-kernel digit extraction
+    return min(8, max(4, n.bit_length() - 1))
 
 
 def _auto_c_batched(n: int, c: int | None, signed: bool = False) -> int:
