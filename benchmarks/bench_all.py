@@ -206,7 +206,12 @@ def bench_msm_sweep():
         t1 = t_wall(lambda: np.asarray(f1(pts, scal)), reps=2)
         t3 = t_wall(lambda: np.asarray(f3(pts, scal)), reps=2)
         per = max(t3 - t1, 1e-9) / 2
-        emit("msm_points_per_sec", n / per, "points/s", log2n=logn, c=c, lanes=lanes)
+        # emit the RESOLVED window width (c=None means "mode-aware default";
+        # recording the concrete value keeps cross-mode runs comparable)
+        emit(
+            "msm_points_per_sec", n / per, "points/s",
+            log2n=logn, c=dmsm._auto_c(n, c), lanes=lanes,
+        )
 
 
 if __name__ == "__main__":

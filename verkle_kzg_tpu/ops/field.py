@@ -44,10 +44,9 @@ _SPECS: dict[str, FieldSpec] = {"fq": FQ, "fr": FR}
 
 # Unroll factor for the CIOS rounds scan: 1 = smallest compile graphs (the
 # right choice on this 1-core host for CPU testing), larger = fewer loop
-# iterations at runtime. Override with VKZG_MUL_UNROLL.
-import os as _os
-
-_MUL_UNROLL = int(_os.environ.get("VKZG_MUL_UNROLL", "1"))
+# iterations at runtime. Override with VKZG_MUL_UNROLL (resolved once in
+# knobs.py; part of the AOT artifact key via knobs.snapshot()).
+from ..knobs import MUL_UNROLL as _MUL_UNROLL
 
 
 @functools.lru_cache(maxsize=None)

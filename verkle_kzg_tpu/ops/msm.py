@@ -40,10 +40,11 @@ TOTAL_BITS = LIMB_BITS * L  # 256
 # Mosaic mixed-add (one kernel per step instead of ~200 scan-round
 # dispatches) is the round-2 perf fix for the memory-bound XLA pipeline
 # (BASELINE.md round-1 note). VKZG_PALLAS=0 forces the XLA path; =1 forces
-# pallas even off-TPU (interpret mode — slow, test-only).
-import os as _os
-
-_PALLAS_ENV = _os.environ.get("VKZG_PALLAS", "auto")
+# pallas even off-TPU (interpret mode — slow, test-only). All three knobs
+# are resolved once in knobs.py and hashed into AOT keys (knobs.snapshot).
+from ..knobs import PALLAS as _PALLAS_ENV
+from ..knobs import SIGNED as _SIGNED_ENV
+from ..knobs import WINDOW_C as _WINDOW_C
 
 
 def _pallas_mode() -> str:
@@ -233,8 +234,9 @@ def _scatter_buckets(buckets, d, val) -> jnp.ndarray:
 def _signed_default() -> bool:
     """Balanced signed digits halve the live bucket range (the per-step
     whole-table gather/scatter is the top cost of the fused kernel at
-    c = 8). Default ON; VKZG_SIGNED=0 restores unsigned digits."""
-    return _os.environ.get("VKZG_SIGNED", "1") != "0"
+    c = 8). Default ON; VKZG_SIGNED=0 restores unsigned digits (resolved
+    once in knobs.py)."""
+    return _SIGNED_ENV
 
 
 def msm_pippenger(
@@ -441,14 +443,16 @@ def _auto_c(n: int, c: int | None) -> int:
         signed c=4 table is 9 rows (vs 192 padded at signed c=8), putting
         the optimum at SMALL c (tuned at 2^20, see BASELINE.md round 3).
 
-    VKZG_WINDOW_C overrides (and is part of the AOT store key)."""
+    VKZG_WINDOW_C overrides (validated in knobs.py; part of the AOT store
+    key via knobs.snapshot)."""
+    if c is None:
+        c = _WINDOW_C
     if c is not None:
+        if not 1 <= c <= 16:
+            raise ValueError(f"MSM window width c must be in [1, 16], got {c}")
         return c
-    env = _os.environ.get("VKZG_WINDOW_C")
-    if env:
-        return int(env)
     if _pallas_mode() != "off":
-        return 4  # 16 % c == 0 keeps in-kernel digit extraction
+        return 8  # 16 % c == 0 keeps in-kernel digit extraction
     return min(8, max(4, n.bit_length() - 1))
 
 

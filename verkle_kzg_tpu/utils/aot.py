@@ -86,20 +86,18 @@ def _source_digest() -> bytes:
     return h.digest()
 
 
-#: env knobs that select between algorithm variants at TRACE time (all
-#: variants return identical group elements, but an artifact traced under
-#: one knob setting must not shadow a run under another — the loaded
-#: program would silently be the other algorithm)
-_ENV_KNOBS = ("VKZG_PALLAS", "VKZG_SIGNED", "VKZG_WINDOW_C")
-
-
 def _key(name: str, args, statics) -> str:
     h = hashlib.sha256()
     h.update(jax.__version__.encode())
     h.update(jax.default_backend().encode())
     h.update(_source_digest())
-    for knob in _ENV_KNOBS:
-        h.update(f"{knob}={os.environ.get(knob, '')};".encode())
+    # trace-affecting knobs (pallas dispatch, signed digits, mul unroll,
+    # window width), read RESOLVED from the modules that consume them
+    # (knobs.snapshot) — an artifact traced under one variant must never
+    # shadow a run under another, and key + behavior must share a source
+    from ..knobs import snapshot
+
+    h.update(snapshot().encode())
     h.update(name.encode())
     h.update(repr(statics).encode())
     for leaf in jax.tree_util.tree_leaves(args):
