@@ -371,7 +371,6 @@ def _msm_lanewise(
     array, so there is no lane merge — a lane IS an independent MSM.
     Returns (3, L, B)."""
     w, n, b = digits.shape
-    live = (1 << (c - 1)) + 1 if signed else nbuckets
     mode = _pallas_mode()
     if mode != "off":
         # both streams are locally-created temporaries (moveaxis/broadcast
@@ -384,16 +383,20 @@ def _msm_lanewise(
         )
         if c <= (7 if signed else 6):
             # batched tail (per-lane weighted sums + Horner) in pallas too:
-            # the XLA suffix scans over (W, live-1, 3, L, B) arrays dominate
+            # the XLA suffix scans over (W, rows, 3, L, B) arrays dominate
             # verkle commit passes otherwise. Larger c would blow the tail
-            # kernel's VMEM budget (live x 3 x L x 128 working copies) —
+            # kernel's VMEM budget (rows x 3 x L x 128 working copies) —
             # those configs fall through to the XLA tail below.
             return PM.batched_bucket_tail_donated(
                 buckets, c, interpret=(mode == "interpret"),
-                nbuckets=live if signed else None,
+                nbuckets=PM.signed_table_size(c) if signed else None,
+                shifted=signed,
             )
-        buckets = buckets[:, :live]
+        # signed pallas tables store bucket d at row d-1 (no trash row):
+        # every row is live with weight row+1, so no drop-slice
+        body = buckets if signed else buckets[:, 1:nbuckets]
     else:
+        live = (1 << (c - 1)) + 1 if signed else nbuckets
         buckets0 = C.infinity((w, live), b)  # (W, live, 3, L, B)
         if signed:
             signs = digits < 0  # (W, N, B)
@@ -411,8 +414,8 @@ def _msm_lanewise(
             return _scatter_buckets(buckets, d, new)
 
         buckets = jax.lax.fori_loop(0, n, step, buckets0)
+        body = buckets[:, 1:live]  # drop the zero-digit trash row
 
-    body = buckets[:, 1:live]  # drop bucket 0 + any table padding
     s1 = suffix_scan_points(body, axis=1)
     window_sums = suffix_scan_points(s1, axis=1)[:, 0]  # (W, 3, L, B)
 
@@ -432,16 +435,16 @@ def _batched_naive(points_proj: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarra
 
 
 def _auto_c(n: int, c: int | None) -> int:
-    """Window width for SINGLE MSMs, per dispatch mode. The two paths have
-    opposite optima:
+    """Window width for SINGLE MSMs. c=8 measured fastest on both paths:
 
       * XLA path: buckets are gathered/scattered by index (O(1) in table
         size), so cost ~ W mixed-adds per point — maximize c (=8).
-      * Pallas path: Mosaic has no per-lane dynamic indexing, so the
-        gather/scatter is a whole-table masked scan; per-point cost
-        ~ alpha*W*table_rows + beta*W with beta/alpha ~ 30-60 rows. The
-        signed c=4 table is 9 rows (vs 192 padded at signed c=8), putting
-        the optimum at SMALL c (tuned at 2^20, see BASELINE.md round 3).
+      * Pallas path: the per-step whole-table masked scan costs
+        alpha*rows + beta per window, but beta (the fused mixed-add's
+        serial CIOS chains) dominates even 128-row tables, so minimizing
+        W wins: measured at 2^20 on v5e, signed c=8 = 794k points/s vs
+        564k at signed c=4 (round-3's c=4 default was a mis-tune;
+        benchmarks/tune_msm.py is the sweep harness).
 
     VKZG_WINDOW_C overrides (validated in knobs.py; part of the AOT store
     key via knobs.snapshot)."""

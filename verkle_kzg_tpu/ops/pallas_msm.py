@@ -134,7 +134,9 @@ def _accum_kernel(
         p = pts_ref[i]  # (2, L, B) affine point batch
         if signed:
             p = _negate_y_sel(p, d < 0)
-            d = jnp.abs(d)
+            # bucket |d| lives at row |d| - 1; digit 0 maps to -1, which
+            # matches no row (the lane's add is computed but discarded)
+            d = jnp.abs(d) - 1
         _gather_scatter_step(out_ref, 0, d, p, nbuckets, bsz)
         return 0
 
@@ -150,6 +152,50 @@ def _accum_kernel(
         blk = min(16, nbuckets)
         for b in range(0, nbuckets, blk):
             out_ref[0, b : b + blk] = k_point_reduce(out_ref[0, b : b + blk])
+
+
+def _accum_kernel_pair(
+    digits_ref, pts_ref, out_ref, *, nbuckets: int, chunk: int, signed: bool
+):
+    """Window-PAIRED variant of _accum_kernel: grid cell wp owns windows
+    2wp and 2wp+1 (digits_ref: (2, CH, BB); out_ref: (1, 2, nbuckets, 3,
+    L, BB)). The two windows' accumulation chains are independent and
+    emitted interleaved (see _gather_scatter_step_pair) — the unpaired
+    kernel is latency-bound on a single mixed-add's serial CIOS chains."""
+    s_chunk = pl.program_id(2)
+    bsz = out_ref.shape[-1]
+
+    @pl.when(s_chunk == 0)
+    def _init():
+        zero = jnp.zeros((L, bsz), jnp.uint32)
+        one = jnp.broadcast_to(_one_mont_rows("fq"), (L, bsz))
+        inf = jnp.stack([zero, one, zero], axis=0)
+        out_ref[0] = jnp.broadcast_to(inf[None, None], (2, nbuckets, 3, L, bsz))
+
+    def step(i, _):
+        d0 = digits_ref[0, i]
+        d1 = digits_ref[1, i]
+        p = pts_ref[i]
+        if signed:
+            p0 = _negate_y_sel(p, d0 < 0)
+            p1 = _negate_y_sel(p, d1 < 0)
+            d0 = jnp.abs(d0) - 1  # row |d| - 1, digit 0 masked off
+            d1 = jnp.abs(d1) - 1
+        else:
+            p0 = p1 = p
+        _gather_scatter_step_pair(out_ref, d0, d1, p0, p1, nbuckets, bsz)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0)
+
+    @pl.when(s_chunk == pl.num_programs(2) - 1)
+    def _normalize():
+        blk = min(16, nbuckets)
+        for j in range(2):
+            for b in range(0, nbuckets, blk):
+                out_ref[0, j, b : b + blk] = k_point_reduce(
+                    out_ref[0, j, b : b + blk]
+                )
 
 
 def _accum_kernel_sc(sc_ref, pts_ref, out_ref, *, c: int, nbuckets: int, chunk: int):
@@ -197,8 +243,9 @@ def _accum_kernel_sc_signed(
     carry bitmask (masks_ref: (CH, NWORDS, BB) uint32, bit w of word w//32
     = carry INTO window w, see ops/msm.py::signed_carries; word count
     covers bit W so the top window's carry-out read stays in bounds and
-    reads 0). Bucket = |d| (live range 0..2^(c-1), table padded to
-    ``nbuckets``); the point's y is negated where d < 0."""
+    reads 0). Bucket |d| is stored at row |d| - 1 (``nbuckets`` = 2^(c-1)
+    exact rows, digit 0 masked off); the point's y is negated where
+    d < 0."""
     w_id = pl.program_id(0)
     s_chunk = pl.program_id(2)
     bsz = out_ref.shape[-1]
@@ -228,7 +275,8 @@ def _accum_kernel_sc_signed(
         co = ((masks_ref[i, wd_out] >> b_out) & 1).astype(jnp.int32)
         d = raw + ci - (co << c)  # top window's carry-out bit is never set
         p = _negate_y_sel(pts_ref[i], d < 0)
-        _gather_scatter_step(out_ref, 0, jnp.abs(d), p, nbuckets, bsz)
+        # row |d| - 1 (digit 0 -> -1 matches no row; see signed_table_size)
+        _gather_scatter_step(out_ref, 0, jnp.abs(d) - 1, p, nbuckets, bsz)
         return 0
 
     jax.lax.fori_loop(0, chunk, step, 0)
@@ -323,11 +371,127 @@ bucket_accumulate_from_scalars_donated = jax.jit(
 
 
 def signed_table_size(c: int) -> int:
-    """Bucket-table rows for signed digits: live range 0..2^(c-1), padded
-    up to a multiple of 64 so _gather_scatter_step's blocked scan divides
-    evenly (e.g. c=8: 129 live -> 192 rows vs 256 unsigned)."""
-    live = (1 << (c - 1)) + 1
-    return -(-live // 64) * 64 if live > 64 else live
+    """Bucket-table rows for signed digits: the kernels store bucket |d| at
+    row |d| - 1 (digit 0 contributes nothing and is masked off in the
+    gather/scatter: its shifted index -1 matches no row), so the table is
+    EXACTLY 2^(c-1) rows — no zero-digit trash row, no block padding. At
+    c=8 that is 128 rows vs 256 unsigned (the per-step whole-table masked
+    scan is the kernel's top cost, so rows are throughput). Row i holds the
+    bucket of digit i+1; the tails consume this with ``shifted=True``."""
+    return 1 << (c - 1)
+
+
+def _gather_scatter_step_pair(tbl_ref, d0, d1, p0, p1, nbuckets: int, bsz: int):
+    """Two windows' accumulation steps fused into one table pass. The
+    paired chains are fully independent (separate table slices tbl_ref[0,j],
+    separate digits/points), and emitting them interleaved in ONE loop body
+    lets the Mosaic scheduler overlap their dependency chains — the unpaired
+    kernel is latency-bound on the serial CIOS chains of a single mixed-add
+    (only ~2 vregs wide), not VPU-throughput-bound."""
+    bblk = min(64, nbuckets)
+    nblk = nbuckets // bblk
+    base = jax.lax.broadcasted_iota(jnp.int32, (bblk, 1, 1, bsz), 0)
+
+    def gather_blk(k, accs):
+        a0, a1 = accs
+        b0 = k * bblk
+        oh0 = d0[None, None, None, :] == (base + b0)
+        oh1 = d1[None, None, None, :] == (base + b0)
+        t0 = jax.lax.bitcast_convert_type(tbl_ref[0, 0, pl.ds(b0, bblk)], jnp.int32)
+        t1 = jax.lax.bitcast_convert_type(tbl_ref[0, 1, pl.ds(b0, bblk)], jnp.int32)
+        return (
+            a0 + jnp.sum(jnp.where(oh0, t0, 0), axis=0),
+            a1 + jnp.sum(jnp.where(oh1, t1, 0), axis=0),
+        )
+
+    zero = jnp.zeros((3, L, bsz), jnp.int32)
+    cur0_i, cur1_i = jax.lax.fori_loop(0, nblk, gather_blk, (zero, zero))
+    new0 = k_point_mixed_add_lazy(
+        jax.lax.bitcast_convert_type(cur0_i, jnp.uint32), p0
+    )
+    new1 = k_point_mixed_add_lazy(
+        jax.lax.bitcast_convert_type(cur1_i, jnp.uint32), p1
+    )
+
+    def scatter_blk(k, _):
+        b0 = k * bblk
+        oh0 = d0[None, None, None, :] == (base + b0)
+        oh1 = d1[None, None, None, :] == (base + b0)
+        tbl_ref[0, 0, pl.ds(b0, bblk)] = jnp.where(
+            oh0, new0[None], tbl_ref[0, 0, pl.ds(b0, bblk)]
+        )
+        tbl_ref[0, 1, pl.ds(b0, bblk)] = jnp.where(
+            oh1, new1[None], tbl_ref[0, 1, pl.ds(b0, bblk)]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nblk, scatter_blk, 0)
+
+
+def _accum_kernel_sc_signed_pair(
+    sc_ref, masks_ref, pts_ref, out_ref, *, c: int, nbuckets: int, chunk: int
+):
+    """Window-PAIRED variant of _accum_kernel_sc_signed: grid cell wp owns
+    windows 2wp and 2wp+1 (out_ref: (1, 2, nbuckets, 3, L, BB)). Needs
+    2c | 16 so the pair shares one scalar limb (shifts s and s+c). Same
+    row layout as the unpaired kernel (row = |d| - 1, digit 0 masked)."""
+    wp = pl.program_id(0)
+    s_chunk = pl.program_id(2)
+    bsz = out_ref.shape[-1]
+    w0 = 2 * wp
+    limb = (w0 * c) // 16
+    shift0 = ((w0 * c) % 16).astype(jnp.uint32)
+    shift1 = shift0 + c
+    dmask = jnp.uint32((1 << c) - 1)
+
+    @pl.when(s_chunk == 0)
+    def _init():
+        zero = jnp.zeros((L, bsz), jnp.uint32)
+        one = jnp.broadcast_to(_one_mont_rows("fq"), (L, bsz))
+        inf = jnp.stack([zero, one, zero], axis=0)
+        out_ref[0] = jnp.broadcast_to(inf[None, None], (2, nbuckets, 3, L, bsz))
+
+    # carry bits for windows w0, w0+1 (see _accum_kernel_sc_signed; shifts
+    # kept unsigned so >> stays logical)
+    def carry_bits(w_id):
+        b_in = (w_id % 32).astype(jnp.uint32)
+        wd_in = w_id // 32
+        b_out = ((w_id + 1) % 32).astype(jnp.uint32)
+        wd_out = (w_id + 1) // 32
+        return b_in, wd_in, b_out, wd_out
+
+    bi0, wi0, bo0, wo0 = carry_bits(w0)
+    bi1, wi1, bo1, wo1 = carry_bits(w0 + 1)
+
+    def step(i, _):
+        row = sc_ref[i, limb]
+        p = pts_ref[i]
+
+        def digit(shift, bi, wi, bo, wo):
+            raw = ((row >> shift) & dmask).astype(jnp.int32)
+            ci = ((masks_ref[i, wi] >> bi) & 1).astype(jnp.int32)
+            co = ((masks_ref[i, wo] >> bo) & 1).astype(jnp.int32)
+            return raw + ci - (co << c)
+
+        d0 = digit(shift0, bi0, wi0, bo0, wo0)
+        d1 = digit(shift1, bi1, wi1, bo1, wo1)
+        p0 = _negate_y_sel(p, d0 < 0)
+        p1 = _negate_y_sel(p, d1 < 0)
+        _gather_scatter_step_pair(
+            out_ref, jnp.abs(d0) - 1, jnp.abs(d1) - 1, p0, p1, nbuckets, bsz
+        )
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0)
+
+    @pl.when(s_chunk == pl.num_programs(2) - 1)
+    def _normalize():
+        blk = min(16, nbuckets)
+        for j in range(2):
+            for b in range(0, nbuckets, blk):
+                out_ref[0, j, b : b + blk] = k_point_reduce(
+                    out_ref[0, j, b : b + blk]
+                )
 
 
 def _bucket_accumulate_from_scalars_signed_impl(
@@ -337,11 +501,14 @@ def _bucket_accumulate_from_scalars_signed_impl(
     c: int,
     chunk: int = DEFAULT_CHUNK // 2,
     interpret: bool = False,
+    wpair: bool = True,
 ) -> jnp.ndarray:
     """(S, 2, L, B) points x (S, L, B) STANDARD scalars x (S, NWORDS, B)
     packed carry bitmasks -> (W, signed_table_size(c), 3, L, B) buckets
-    holding the SIGNED-digit accumulation (bucket |d|, y negated for
-    d < 0). Rows past 2^(c-1) stay at infinity (table padding)."""
+    holding the SIGNED-digit accumulation: row i = bucket of digit i + 1
+    (y negated for d < 0, digit 0 discarded — consume with
+    ``shifted=True`` tails). ``wpair``: two windows per grid cell (ILP —
+    see _gather_scatter_step_pair; needs 2c | 16 and even W)."""
     assert 16 % c == 0, "in-kernel digits need c dividing the limb width"
     s, _, _, b = pts_stream.shape
     nwords = masks.shape[1]
@@ -376,27 +543,48 @@ def _bucket_accumulate_from_scalars_signed_impl(
             [masks, jnp.zeros(masks.shape[:-1] + (bpad,), jnp.uint32)], axis=-1
         )
 
+    in_specs = [
+        pl.BlockSpec(
+            (chunk, L, bb), lambda i, k, j: (j, 0, k), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (chunk, nwords, bb),
+            lambda i, k, j: (j, 0, k),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (chunk, 2, L, bb),
+            lambda i, k, j: (j, 0, 0, k),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if wpair and 16 % (2 * c) == 0 and w % 2 == 0:
+        kern = functools.partial(
+            _accum_kernel_sc_signed_pair, c=c, nbuckets=nbuckets, chunk=chunk
+        )
+        out = pl.pallas_call(
+            kern,
+            grid=(w // 2, nbb, nchunks),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 2, nbuckets, 3, L, bb),
+                lambda i, k, j: (i, 0, 0, 0, 0, k),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (w // 2, 2, nbuckets, 3, L, nbb * bb), jnp.uint32
+            ),
+            interpret=interpret,
+        )(sc_stream, masks, pts_stream)
+        out = out.reshape(w, nbuckets, 3, L, nbb * bb)
+        return out[..., :b]
     kern = functools.partial(
         _accum_kernel_sc_signed, c=c, nbuckets=nbuckets, chunk=chunk
     )
     out = pl.pallas_call(
         kern,
         grid=(w, nbb, nchunks),
-        in_specs=[
-            pl.BlockSpec(
-                (chunk, L, bb), lambda i, k, j: (j, 0, k), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (chunk, nwords, bb),
-                lambda i, k, j: (j, 0, k),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (chunk, 2, L, bb),
-                lambda i, k, j: (j, 0, 0, k),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, nbuckets, 3, L, bb),
             lambda i, k, j: (i, 0, 0, 0, k),
@@ -417,6 +605,7 @@ def _bucket_accumulate_impl(
     chunk: int = DEFAULT_CHUNK,
     interpret: bool = False,
     signed: bool = False,
+    wpair: bool = True,
 ) -> jnp.ndarray:
     """(S, 2, L, B) points x (W, S, B) int32 digits -> (W, 2^c, 3, L, B)
     buckets (bucket 0 collects zero digits; excluded by the caller).
@@ -456,6 +645,51 @@ def _bucket_accumulate_impl(
             [digits, jnp.zeros(digits.shape[:-1] + (bpad,), jnp.int32)], axis=-1
         )
 
+    # pairing doubles the VMEM-resident table: cap it so the pair of
+    # tables + gather temporaries stays inside the ~16 MB budget (the
+    # unsigned c=8 digit-tensor path would need 12.6 MB of tables alone)
+    wpair = wpair and nbuckets * 3 * L * bb * 4 * 2 <= 8 * 2**20
+    if wpair:
+        # pair windows per grid cell (ILP; see _gather_scatter_step_pair).
+        # Odd W (e.g. c=6 -> 43) pads one all-zero window: digit 0 is the
+        # trash bucket unsigned and masked off signed, so it is inert; the
+        # padded table row block is sliced off below.
+        wp = -(-w // 2)
+        if 2 * wp != w:
+            digits = jnp.concatenate(
+                [digits, jnp.zeros((1,) + digits.shape[1:], digits.dtype)],
+                axis=0,
+            )
+        kern = functools.partial(
+            _accum_kernel_pair, nbuckets=nbuckets, chunk=chunk, signed=signed
+        )
+        out = pl.pallas_call(
+            kern,
+            grid=(wp, nbb, nchunks),
+            in_specs=[
+                pl.BlockSpec(
+                    (2, chunk, bb),
+                    lambda i, k, j: (i, j, k),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (chunk, 2, L, bb),
+                    lambda i, k, j: (j, 0, 0, k),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 2, nbuckets, 3, L, bb),
+                lambda i, k, j: (i, 0, 0, 0, 0, k),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (wp, 2, nbuckets, 3, L, nbb * bb), jnp.uint32
+            ),
+            interpret=interpret,
+        )(digits.astype(jnp.int32), pts_stream)
+        out = out.reshape(2 * wp, nbuckets, 3, L, nbb * bb)[:w]
+        return out[..., :b]
     kern = functools.partial(
         _accum_kernel, nbuckets=nbuckets, chunk=chunk, signed=signed
     )
@@ -486,19 +720,20 @@ def _bucket_accumulate_impl(
 
 
 bucket_accumulate = jax.jit(
-    _bucket_accumulate_impl, static_argnames=_STATICS + ("signed",)
+    _bucket_accumulate_impl, static_argnames=_STATICS + ("signed", "wpair")
 )
 bucket_accumulate_donated = jax.jit(
     _bucket_accumulate_impl,
-    static_argnames=_STATICS + ("signed",),
+    static_argnames=_STATICS + ("signed", "wpair"),
     donate_argnums=(0, 1),
 )
 bucket_accumulate_from_scalars_signed = jax.jit(
-    _bucket_accumulate_from_scalars_signed_impl, static_argnames=_STATICS
+    _bucket_accumulate_from_scalars_signed_impl,
+    static_argnames=_STATICS + ("wpair",),
 )
 bucket_accumulate_from_scalars_signed_donated = jax.jit(
     _bucket_accumulate_from_scalars_signed_impl,
-    static_argnames=_STATICS,
+    static_argnames=_STATICS + ("wpair",),
     donate_argnums=(0, 1, 2),
 )
 
@@ -510,21 +745,36 @@ bucket_accumulate_from_scalars_signed_donated = jax.jit(
 # ---------------------------------------------------------------------------
 
 
-def _window_sum(x, nbuckets: int, lanes_total: int):
-    """sum_b b*B_b of a (3, L, lanes_total) bucket row (bucket index in the
-    LANE axis, padded to >= 128 lanes) as the head of a double inclusive
-    suffix scan — log-depth dynamic lane rotates."""
+def _window_sum(x, nbuckets: int, lanes_total: int, shifted: bool):
+    """Weighted bucket sum of a (3, L, lanes_total) bucket row (bucket
+    index in the LANE axis, padded to >= 128 lanes) as the head of a double
+    inclusive suffix scan — log-depth dynamic lane rotates.
+
+    ``shifted=False``: row b holds bucket b (row 0 = zero-digit trash),
+    computes sum_b b*B_b over rows 1..nbuckets-1.
+    ``shifted=True``: row i holds bucket i+1 over ``nbuckets`` live rows
+    (the signed-table layout), computes sum_i (i+1)*B_i."""
     zero = jnp.zeros((L, lanes_total), jnp.uint32)
     one = jnp.broadcast_to(_one_mont_rows("fq"), (L, lanes_total))
     inf = jnp.stack([zero, one, zero], axis=0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes_total), 2)
+    live = nbuckets if shifted else nbuckets - 1  # live rows entering scan
 
     def shift_left(v, sh):
+        # valid AFTER the shift: row i holds old row i+sh, live iff
+        # i + sh < live (rows entering the scan are exactly 0..live-1)
         rolled = pltpu.roll(v, jnp.int32(lanes_total) - sh, axis=2)
-        return jnp.where(lane < nbuckets - sh, rolled, inf)
+        return jnp.where(lane < live - sh, rolled, inf)
 
-    x = shift_left(x, 1)
-    log_steps = (nbuckets - 1).bit_length()
+    if shifted:
+        x = jnp.where(lane < live, x, inf)  # lane padding -> identity
+    else:
+        # drop trash row 0: pre-shift live count is live + 1 (buckets
+        # 0..nbuckets-1), so row live-1 (the TOP bucket) must survive —
+        # mask lane < live, NOT the scan-step mask lane < live - sh
+        rolled = pltpu.roll(x, jnp.int32(lanes_total) - 1, axis=2)
+        x = jnp.where(lane < live, rolled, inf)
+    log_steps = max(live - 1, 1).bit_length()
 
     def scan_step(k, v):
         return k_point_add_lazy(v, shift_left(v, jnp.int32(1) << k))
@@ -535,16 +785,18 @@ def _window_sum(x, nbuckets: int, lanes_total: int):
 
 
 def _suffix_horner_kernel(
-    ws_ref, out_ref, *, c: int, nbuckets: int, w_total: int, lanes_total: int
+    ws_ref, out_ref, *, c: int, nbuckets: int, w_total: int,
+    lanes_total: int, shifted: bool
 ):
     """ws_ref: (1, 3, L, lanes_total) — window W-1-i's folded buckets with
     the BUCKET index in the LANE axis (padded up to >= 128 lanes: Mosaic's
-    dynamic rotate needs full lane tiles). Computes sum_b b*B_b as the head
-    of a double inclusive suffix scan (log-depth lane shifts), then folds
-    the running Horner accumulator held in out_ref across the sequential
-    grid: acc <- 2^c * acc + S_w, top window first."""
+    dynamic rotate needs full lane tiles). Computes the weighted bucket sum
+    as the head of a double inclusive suffix scan (log-depth lane shifts;
+    ``shifted`` selects the signed row-(d-1) layout), then folds the
+    running Horner accumulator held in out_ref across the sequential grid:
+    acc <- 2^c * acc + S_w, top window first."""
     i = pl.program_id(0)
-    s_w = _window_sum(ws_ref[0], nbuckets, lanes_total)
+    s_w = _window_sum(ws_ref[0], nbuckets, lanes_total, shifted)
 
     @pl.when(i == 0)
     def _first():
@@ -561,10 +813,13 @@ def _suffix_horner_kernel(
         out_ref[...] = k_point_reduce(out_ref[...])
 
 
-def _single_tail(buckets, c: int, w: int, interpret: bool, nbuckets=None):
+def _single_tail(
+    buckets, c: int, w: int, interpret: bool, nbuckets=None,
+    shifted: bool = False,
+):
     """Lane fold + suffix-scan/Horner tail of the single-MSM pipeline.
-    ``nbuckets``: LIVE bucket rows (default 2^c; signed digits pass
-    2^(c-1)+1 and slice off the table padding first)."""
+    ``nbuckets``: LIVE bucket rows (default 2^c with a trash row 0; signed
+    tables pass 2^(c-1) with ``shifted=True`` — row i = bucket i+1)."""
     from . import pallas_curve as PC
 
     if nbuckets is None:
@@ -579,7 +834,7 @@ def _single_tail(buckets, c: int, w: int, interpret: bool, nbuckets=None):
 
     # pad the bucket-lane axis to full 128-lane tiles (Mosaic's dynamic
     # rotate requires them; also covers small windows, e.g. c=6 from
-    # halved IPA rounds, and the 129-live signed tables)
+    # halved IPA rounds and small signed tables)
     lanes_total = max(-(-nbuckets // 128) * 128, 128)
     if lanes_total != nbuckets:
         ws = jnp.concatenate(
@@ -593,6 +848,7 @@ def _single_tail(buckets, c: int, w: int, interpret: bool, nbuckets=None):
         nbuckets=nbuckets,
         w_total=w,
         lanes_total=lanes_total,
+        shifted=shifted,
     )
     return pl.pallas_call(
         hkern,
@@ -622,12 +878,13 @@ def _single_tail(buckets, c: int, w: int, interpret: bool, nbuckets=None):
 
 
 def _batched_tail_kernel(
-    bk_ref, out_ref, *, c: int, nbuckets: int, w_total: int
+    bk_ref, out_ref, *, c: int, nbuckets: int, w_total: int, shifted: bool
 ):
     """bk_ref: (1, nbuckets, 3, L, BB) — window W-1-i's buckets for one lane
-    block (canonical domain, bucket 0 = zero-digit collector). out_ref:
-    (3, L, BB), VMEM-resident across the window grid dim (innermost), holds
-    the running Horner accumulator per lane."""
+    block (canonical domain; row 0 = zero-digit collector unless
+    ``shifted``, where row i = bucket i+1 — the signed-table layout).
+    out_ref: (3, L, BB), VMEM-resident across the window grid dim
+    (innermost), holds the running Horner accumulator per lane."""
     i = pl.program_id(1)
     bb = out_ref.shape[-1]
 
@@ -640,10 +897,11 @@ def _batched_tail_kernel(
         fill = jnp.broadcast_to(inf[None], (sh, 3, L, bb))
         return jnp.concatenate([v[sh:], fill], axis=0)
 
-    # drop bucket 0, then sum_b b*B_b = head of a double inclusive suffix
-    # scan (sum of suffix sums); log-depth, static shifts
-    x = shift_up(bk_ref[0], 1)
-    log_steps = (nbuckets - 1).bit_length()
+    # weighted bucket sum = head of a double inclusive suffix scan (sum of
+    # suffix sums); log-depth, static shifts
+    x = bk_ref[0] if shifted else shift_up(bk_ref[0], 1)
+    live = nbuckets if shifted else nbuckets - 1
+    log_steps = max(live - 1, 1).bit_length()
     for _ in range(2):
         v = x
         for k in range(log_steps):
@@ -668,7 +926,7 @@ def _batched_tail_kernel(
 
 def _batched_bucket_tail_impl(
     buckets: jnp.ndarray, c: int, interpret: bool = False,
-    nbuckets: int | None = None,
+    nbuckets: int | None = None, shifted: bool = False,
 ) -> jnp.ndarray:
     """(W, rows, 3, L, B) buckets -> (3, L, B): per-lane double-suffix-scan
     weighted sums + Horner over windows, entirely in VMEM. Same GROUP
@@ -676,8 +934,8 @@ def _batched_bucket_tail_impl(
     projective representative may differ: XLA masks identity-adds, this
     kernel runs them through the complete formulas).
 
-    ``nbuckets``: LIVE bucket rows (default 2^c; signed digits pass
-    2^(c-1)+1 and the table padding past it is sliced off first).
+    ``nbuckets``: LIVE bucket rows (default 2^c with a trash row 0; signed
+    tables pass 2^(c-1) with ``shifted=True`` — row i = bucket i+1).
 
     Lane blocks of <=128 ride a leading grid dim; the window grid dim is
     innermost so each lane block's Horner accumulator (the output block)
@@ -700,7 +958,8 @@ def _batched_bucket_tail_impl(
         )
 
     kern = functools.partial(
-        _batched_tail_kernel, c=c, nbuckets=nbuckets, w_total=w
+        _batched_tail_kernel, c=c, nbuckets=nbuckets, w_total=w,
+        shifted=shifted,
     )
     out = pl.pallas_call(
         kern,
@@ -722,13 +981,14 @@ def _batched_bucket_tail_impl(
 
 
 batched_bucket_tail = jax.jit(
-    _batched_bucket_tail_impl, static_argnames=("c", "interpret", "nbuckets")
+    _batched_bucket_tail_impl,
+    static_argnames=("c", "interpret", "nbuckets", "shifted"),
 )
 #: Donates the bucket tensor — the largest transient of the whole batched
 #: MSM pipeline (W x 2^c x 3 x L x B words); it is dead after the tail.
 batched_bucket_tail_donated = jax.jit(
     _batched_bucket_tail_impl,
-    static_argnames=("c", "interpret", "nbuckets"),
+    static_argnames=("c", "interpret", "nbuckets", "shifted"),
     donate_argnums=(0,),
 )
 
@@ -752,8 +1012,8 @@ def _msm_single_fused_impl(
     buckets = _bucket_accumulate_impl(
         pts_stream, digits, c, chunk, interpret, signed=signed
     )
-    live = (1 << (c - 1)) + 1 if signed else None
-    return _single_tail(buckets, c, w, interpret, nbuckets=live)
+    live = (1 << (c - 1)) if signed else None
+    return _single_tail(buckets, c, w, interpret, nbuckets=live, shifted=signed)
 
 
 def _msm_single_fused_sc_impl(
@@ -782,6 +1042,7 @@ def _msm_single_fused_sc_signed_impl(
     c: int,
     chunk: int = DEFAULT_CHUNK,
     interpret: bool = False,
+    wpair: bool = True,
 ) -> jnp.ndarray:
     """Signed-digit single-MSM pipeline with in-kernel digit derivation
     from scalar limbs + carry bitmasks (ops/msm.py::signed_carries)."""
@@ -790,9 +1051,11 @@ def _msm_single_fused_sc_signed_impl(
     w = 256 // c
     buckets = _bucket_accumulate_from_scalars_signed_impl(
         pts_stream, sc_stream, masks, c, min(chunk, DEFAULT_CHUNK // 2),
-        interpret,
+        interpret, wpair=wpair,
     )
-    return _single_tail(buckets, c, w, interpret, nbuckets=(1 << (c - 1)) + 1)
+    return _single_tail(
+        buckets, c, w, interpret, nbuckets=1 << (c - 1), shifted=True
+    )
 
 
 msm_single_fused = jax.jit(
@@ -804,11 +1067,11 @@ msm_single_fused_donated = jax.jit(
     donate_argnums=(0, 1),
 )
 msm_single_fused_sc_signed = jax.jit(
-    _msm_single_fused_sc_signed_impl, static_argnames=_STATICS
+    _msm_single_fused_sc_signed_impl, static_argnames=_STATICS + ("wpair",)
 )
 msm_single_fused_sc_signed_donated = jax.jit(
     _msm_single_fused_sc_signed_impl,
-    static_argnames=_STATICS,
+    static_argnames=_STATICS + ("wpair",),
     donate_argnums=(0, 1, 2),
 )
 msm_single_fused_sc = jax.jit(
