@@ -248,8 +248,10 @@ def msm_pippenger(
 ) -> jnp.ndarray:
     """Single MSM of N (point, scalar) pairs -> one point (3, L, 1).
 
-    ``c``: window bits (2^c buckets/window unsigned, 2^(c-1)+1 signed;
-    bucket 0 unused; default per dispatch mode — see _auto_c); ``lanes``:
+    ``c``: window bits (2^c buckets/window unsigned with trash bucket 0;
+    signed digits shrink that to 2^(c-1)+1 on the XLA path and an exact
+    2^(c-1) rows in the pallas kernels; default per dispatch mode — see
+    _auto_c); ``lanes``:
     accumulation lanes (VPU width multiplier); ``signed``: balanced
     signed-digit windows (default from VKZG_SIGNED) — the per-step
     bucket-table scan is the fused kernel's dominant cost and signed
