@@ -101,6 +101,42 @@ def test_bucket_accumulate_matches_xla_loop():
     assert jnp.all(got == want)
 
 
+@pytest.mark.parametrize("signed,group,fused", [
+    (False, 2, True),
+    (True, 2, False),
+    (True, 2, True),
+    (True, 4, True),
+    (True, 3, True),  # odd G exercises the inert zero-window padding
+])
+def test_msm_group_kernel_matches_oracle(signed, group, fused):
+    """The G-way interleaved / fused-table-pass accumulation kernel
+    (wgroup/fused variants of ops/pallas_msm.py) must produce the same
+    group element as the host oracle through the full single-MSM pipeline
+    in interpret mode."""
+    rng = random.Random(77)
+    n, lanes, c = 48, 8, 4
+    w = -(-256 // c)
+    pts_host, aff = _point_batch(n, 21)
+    scal_ints = [rng.getrandbits(254) % R for _ in range(n)]
+    scal_ints[0] = 0  # zero scalar: trash bucket unsigned / masked signed
+    scal = jnp.asarray(ints_to_limbs(scal_ints).T)
+    want = hc.g1_msm_naive(pts_host, scal_ints)
+
+    steps = n // lanes
+    dig = (
+        msm.window_digits_signed(scal, c)
+        if signed
+        else msm.window_digits(scal, c)
+    )
+    digits = dig.reshape(w, steps, lanes).astype(jnp.int32)
+    pts_stream = jnp.moveaxis(aff.reshape(2, L, steps, lanes), 2, 0)
+    got = PM.msm_single_fused(
+        pts_stream, digits, c, chunk=4, interpret=True,
+        signed=signed, wgroup=group, fused=fused,
+    )
+    assert C.projective_to_host_points(got)[0] == want
+
+
 @pytest.mark.parametrize("signed", [False, True])
 def test_msm_batched_pallas_branch(monkeypatch, signed):
     """Drives msm_batched + msm_fixed_base through the FULL pallas branch

@@ -428,6 +428,141 @@ def _gather_scatter_step_pair(tbl_ref, d0, d1, p0, p1, nbuckets: int, bsz: int):
     jax.lax.fori_loop(0, nblk, scatter_blk, 0)
 
 
+def _accum_kernel_group(
+    digits_ref,
+    pts_ref,
+    out_ref,
+    *,
+    nbuckets: int,
+    chunk: int,
+    signed: bool,
+    group: int,
+    fused: bool,
+):
+    """G-way window-interleaved accumulation with an optional FUSED table
+    pass. Grid cell wg owns windows wg*G .. wg*G+G-1 (digits_ref:
+    (G, CH, BB); out_ref: (1, G, nbuckets, 3, L, BB)).
+
+    Generalizes _accum_kernel_pair two ways:
+
+      * ``group``: G independent windows' chains are emitted interleaved in
+        one loop body — the single-chain kernel is latency-bound on the
+        serial CIOS dependency chains of one mixed-add (~2 vregs wide), so
+        more chains fill the VPU pipeline (VMEM-capped: G tables resident).
+      * ``fused``: step i's scatter and step i+1's gather merge into ONE
+        table pass — per block, write the merged rows then accumulate the
+        next step's masked sum FROM the merged value (correct when the two
+        steps hit the same bucket). Saves one whole-table read per step
+        per window; the running accumulator rides the fori_loop carry.
+    """
+    s_chunk = pl.program_id(2)
+    bsz = out_ref.shape[-1]
+    G = group
+
+    @pl.when(s_chunk == 0)
+    def _init():
+        zero = jnp.zeros((L, bsz), jnp.uint32)
+        one = jnp.broadcast_to(_one_mont_rows("fq"), (L, bsz))
+        inf = jnp.stack([zero, one, zero], axis=0)
+        out_ref[0] = jnp.broadcast_to(inf[None, None], (G, nbuckets, 3, L, bsz))
+
+    def decode_d(i, j):
+        """Bucket row for step i, chain j (signed: row |d| - 1, digit 0
+        maps to -1 = no row)."""
+        d = digits_ref[j, i]
+        return jnp.abs(d) - 1 if signed else d
+
+    def decode_p(i, j):
+        p = pts_ref[i]
+        if signed:
+            return _negate_y_sel(p, digits_ref[j, i] < 0)
+        return p
+
+    bblk = min(64, nbuckets)
+    nblk = nbuckets // bblk
+    base = jax.lax.broadcasted_iota(jnp.int32, (bblk, 1, 1, bsz), 0)
+
+    def gather_j(j, d):
+        def blk(k, acc):
+            b0 = k * bblk
+            oh = d[None, None, None, :] == (base + b0)
+            t = jax.lax.bitcast_convert_type(
+                out_ref[0, j, pl.ds(b0, bblk)], jnp.int32
+            )
+            return acc + jnp.sum(jnp.where(oh, t, 0), axis=0)
+
+        acc = jax.lax.fori_loop(0, nblk, blk, jnp.zeros((3, L, bsz), jnp.int32))
+        return jax.lax.bitcast_convert_type(acc, jnp.uint32)
+
+    if not fused:
+
+        def step(i, _):
+            # classic two-pass gather/mixed-add/scatter, G chains interleaved
+            curs = tuple(gather_j(j, decode_d(i, j)) for j in range(G))
+            news = tuple(
+                k_point_mixed_add_lazy(curs[j], decode_p(i, j)) for j in range(G)
+            )
+
+            def scatter_j(j, d, new):
+                def blk(k, _):
+                    b0 = k * bblk
+                    oh = d[None, None, None, :] == (base + b0)
+                    out_ref[0, j, pl.ds(b0, bblk)] = jnp.where(
+                        oh, new[None], out_ref[0, j, pl.ds(b0, bblk)]
+                    )
+                    return 0
+
+                jax.lax.fori_loop(0, nblk, blk, 0)
+
+            for j in range(G):
+                scatter_j(j, decode_d(i, j), news[j])
+            return 0
+
+        jax.lax.fori_loop(0, chunk, step, 0)
+    else:
+
+        def scatter_gather_j(j, d_w, new, d_n):
+            """ONE pass: write ``new`` at rows == d_w, return the merged
+            table's rows == d_n (the next step's gather)."""
+
+            def blk(k, acc):
+                b0 = k * bblk
+                oh_w = d_w[None, None, None, :] == (base + b0)
+                merged = jnp.where(oh_w, new[None], out_ref[0, j, pl.ds(b0, bblk)])
+                out_ref[0, j, pl.ds(b0, bblk)] = merged
+                oh_n = d_n[None, None, None, :] == (base + b0)
+                t = jax.lax.bitcast_convert_type(merged, jnp.int32)
+                return acc + jnp.sum(jnp.where(oh_n, t, 0), axis=0)
+
+            acc = jax.lax.fori_loop(
+                0, nblk, blk, jnp.zeros((3, L, bsz), jnp.int32)
+            )
+            return jax.lax.bitcast_convert_type(acc, jnp.uint32)
+
+        def step(i, curs):
+            # the carried cur_j is table row d_j(i) as of step i-1's write
+            i_next = jnp.minimum(i + 1, chunk - 1)  # last step: self (dropped)
+            news = tuple(
+                k_point_mixed_add_lazy(curs[j], decode_p(i, j)) for j in range(G)
+            )
+            return tuple(
+                scatter_gather_j(j, decode_d(i, j), news[j], decode_d(i_next, j))
+                for j in range(G)
+            )
+
+        curs0 = tuple(gather_j(j, decode_d(0, j)) for j in range(G))
+        jax.lax.fori_loop(0, chunk, step, curs0)
+
+    @pl.when(s_chunk == pl.num_programs(2) - 1)
+    def _normalize():
+        blk = min(16, nbuckets)
+        for j in range(G):
+            for b in range(0, nbuckets, blk):
+                out_ref[0, j, b : b + blk] = k_point_reduce(
+                    out_ref[0, j, b : b + blk]
+                )
+
+
 def _accum_kernel_sc_signed_pair(
     sc_ref, masks_ref, pts_ref, out_ref, *, c: int, nbuckets: int, chunk: int
 ):
@@ -606,6 +741,8 @@ def _bucket_accumulate_impl(
     interpret: bool = False,
     signed: bool = False,
     wpair: bool = True,
+    wgroup: int | None = None,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """(S, 2, L, B) points x (W, S, B) int32 digits -> (W, 2^c, 3, L, B)
     buckets (bucket 0 collects zero digits; excluded by the caller).
@@ -644,6 +781,56 @@ def _bucket_accumulate_impl(
         digits = jnp.concatenate(
             [digits, jnp.zeros(digits.shape[:-1] + (bpad,), jnp.int32)], axis=-1
         )
+
+    if wgroup is not None:
+        # explicit G-way interleave (optionally with the fused table pass):
+        # pad W up to a multiple of G with inert all-zero windows (digit 0
+        # is the trash bucket unsigned / masked off signed)
+        G = wgroup
+        wg = -(-w // G)
+        if wg * G != w:
+            digits = jnp.concatenate(
+                [
+                    digits,
+                    jnp.zeros((wg * G - w,) + digits.shape[1:], digits.dtype),
+                ],
+                axis=0,
+            )
+        kern = functools.partial(
+            _accum_kernel_group,
+            nbuckets=nbuckets,
+            chunk=chunk,
+            signed=signed,
+            group=G,
+            fused=fused,
+        )
+        out = pl.pallas_call(
+            kern,
+            grid=(wg, nbb, nchunks),
+            in_specs=[
+                pl.BlockSpec(
+                    (G, chunk, bb),
+                    lambda i, k, j: (i, j, k),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (chunk, 2, L, bb),
+                    lambda i, k, j: (j, 0, 0, k),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, G, nbuckets, 3, L, bb),
+                lambda i, k, j: (i, 0, 0, 0, 0, k),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (wg, G, nbuckets, 3, L, nbb * bb), jnp.uint32
+            ),
+            interpret=interpret,
+        )(digits.astype(jnp.int32), pts_stream)
+        out = out.reshape(wg * G, nbuckets, 3, L, nbb * bb)[:w]
+        return out[..., :b]
 
     # pairing doubles the VMEM-resident table: cap it so the pair of
     # tables + gather temporaries stays inside the ~16 MB budget (the
@@ -720,11 +907,12 @@ def _bucket_accumulate_impl(
 
 
 bucket_accumulate = jax.jit(
-    _bucket_accumulate_impl, static_argnames=_STATICS + ("signed", "wpair")
+    _bucket_accumulate_impl,
+    static_argnames=_STATICS + ("signed", "wpair", "wgroup", "fused"),
 )
 bucket_accumulate_donated = jax.jit(
     _bucket_accumulate_impl,
-    static_argnames=_STATICS + ("signed", "wpair"),
+    static_argnames=_STATICS + ("signed", "wpair", "wgroup", "fused"),
     donate_argnums=(0, 1),
 )
 bucket_accumulate_from_scalars_signed = jax.jit(
@@ -1000,17 +1188,21 @@ def _msm_single_fused_impl(
     chunk: int = DEFAULT_CHUNK,
     interpret: bool = False,
     signed: bool = False,
+    wgroup: int | None = None,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Complete single-MSM pipeline: (S, 2, L, B) points x (W, S, B) digits
     (balanced signed digits when ``signed``)
     -> one point (3, L, 1), same group element as msm_pippenger's XLA path
     (identical canonical affine; the projective representative differs
     because identity-adds are masked in XLA but computed through the
-    complete formulas here)."""
+    complete formulas here). ``wgroup``/``fused`` select the G-way
+    interleaved / fused-table-pass accumulation kernel."""
     w, s, b = digits.shape
     assert b & (b - 1) == 0, "lane count must be a power of two"
     buckets = _bucket_accumulate_impl(
-        pts_stream, digits, c, chunk, interpret, signed=signed
+        pts_stream, digits, c, chunk, interpret, signed=signed,
+        wgroup=wgroup, fused=fused,
     )
     live = (1 << (c - 1)) if signed else None
     return _single_tail(buckets, c, w, interpret, nbuckets=live, shifted=signed)
@@ -1059,11 +1251,12 @@ def _msm_single_fused_sc_signed_impl(
 
 
 msm_single_fused = jax.jit(
-    _msm_single_fused_impl, static_argnames=_STATICS + ("signed",)
+    _msm_single_fused_impl,
+    static_argnames=_STATICS + ("signed", "wgroup", "fused"),
 )
 msm_single_fused_donated = jax.jit(
     _msm_single_fused_impl,
-    static_argnames=_STATICS + ("signed",),
+    static_argnames=_STATICS + ("signed", "wgroup", "fused"),
     donate_argnums=(0, 1),
 )
 msm_single_fused_sc_signed = jax.jit(
