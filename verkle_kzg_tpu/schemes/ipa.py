@@ -111,15 +111,37 @@ def _ipa_round(g, a, b, q_proj):
 # round-trips per prove (``ipa/mod.rs:268-319``); over a network-attached
 # TPU those syncs dominate latency, so here the host only ships the initial
 # transcript state in and reads the finished proof out.
+#
+# The generator vector is folded in COEFFICIENT space, not point space:
+# folding g on device (g <- g_r + x*g_l) would cost a 256-bit scalar-mul
+# chain plus projective->affine inversions per round — thousands of serial
+# tiny-vector ops that dominate the program (measured ~16 s at domain 256).
+# Instead the loop tracks, per ORIGINAL basis index i, the accumulated
+# challenge weight W(i) = prod over past rounds of (x_k if i sat in that
+# round's left half else 1); the current folded generator at position j is
+# then g_cur[j] = sum_{i mod len == j} W(i) * g_i, so each round's cross
+# terms are ONE Pippenger MSM over the FIXED affine basis (with q appended
+# carrying the w-scaled inner-product term):
+#   y_l = <g_r, a_l> + (w*<a_l,b_r>)*q = MSM(g || q, gamma_l || w*ip_l)
+# with gamma_l(i) = W(i)*a_cur[(i mod len) - half] on the right half, 0 on
+# the left (y_r mirrored). W updates and gamma builds are shallow field
+# math; all group work runs through the fused Pallas MSM kernels. The group
+# elements are identical to the reference's fold (``ipa/mod.rs:295-311``),
+# so proofs and transcripts stay bit-exact.
 # ---------------------------------------------------------------------------
 
 
-def _fused_ipa_loop(g, a, b, q_proj, state, dst: bytes, with_q: bool):
+def _fused_ipa_loop(basis, a, b, state, dst: bytes, with_q: bool):
     """Unrolled halving loop (shapes halve per round, so rounds are separate
-    traces inside one program). ``state`` is the 33-byte cleared transcript
-    state entering the loop; challenges are recomputed bit-identically to
-    fiatshamir/transcript.py. Returns per-round (L, R) affine pairs, the tip,
-    and (with_q) the evaluation — all still on device."""
+    traces inside one program). ``basis``: the (2, L, n) affine generator
+    vector, with the inner-product point q appended as lane n when
+    ``with_q`` (built host-side from the fixed CRS). ``state`` is the
+    33-byte cleared transcript state entering the loop; challenges are
+    recomputed bit-identically to fiatshamir/transcript.py. Returns
+    per-round (L, R) affine pairs, the tip, and (with_q) the evaluation —
+    all still on device."""
+    nq = basis.shape[-1]
+    n = nq - 1 if with_q else nq
     eval_std = None
     if with_q:
         eval_std = df.from_mont(_inner_mont(a, b), "fr")
@@ -133,22 +155,36 @@ def _fused_ipa_loop(g, a, b, q_proj, state, dst: bytes, with_q: bool):
         )
         w_std = dsha.hash_to_fr(msg, dst)
         state = jnp.concatenate([dsha.fr_to_bytes(w_std), dsha.const_bytes(b"w")])
-        q = dc.scalar_mul(q_proj, w_std)  # q <- w*q, on device
+        w_mont = df.to_mont(w_std, "fr")  # (L, 1)
 
+    wts = df.one_mont("fr", (), n)  # (L, n) accumulated challenge weights
     pairs = []
-    n = a.shape[-1]
-    while n > 1:
-        half = n // 2
+    ln = n
+    while ln > 1:
+        half = ln // 2
+        nb = n // ln
+        # static per-round membership of each ORIGINAL index's position
+        right = jnp.asarray((np.arange(n) % ln) >= half)
         a_l, a_r = a[:, :half], a[:, half:]
-        g_l, g_r = g[..., :half], g[..., half:]
-        y_l = dmsm._msm_auto_impl(dc.to_affine(g_r), df.from_mont(a_l, "fr"))
-        y_r = dmsm._msm_auto_impl(dc.to_affine(g_l), df.from_mont(a_r, "fr"))
+        # a_cur[(i mod ln) - half] / a_cur[(i mod ln) + half] per index i
+        val_l = jnp.broadcast_to(
+            jnp.roll(a, half, axis=-1)[:, None, :], (L, nb, ln)
+        ).reshape(L, n)
+        val_r = jnp.broadcast_to(
+            jnp.roll(a, -half, axis=-1)[:, None, :], (L, nb, ln)
+        ).reshape(L, n)
+        zeros = jnp.zeros_like(wts)
+        gamma_l = df.select(right, df.mont_mul(wts, val_l, "fr"), zeros)
+        gamma_r = df.select(right, zeros, df.mont_mul(wts, val_r, "fr"))
         if with_q:
-            b_l, b_r = b[:, :half], b[:, half:]
-            ip_l = df.from_mont(_inner_mont(a_l, b_r), "fr")
-            ip_r = df.from_mont(_inner_mont(a_r, b_l), "fr")
-            y_l = dc.add(y_l, dc.scalar_mul(q, ip_l))
-            y_r = dc.add(y_r, dc.scalar_mul(q, ip_r))
+            ip_l = _inner_mont(a_l, b[:, half:])
+            ip_r = _inner_mont(a_r, b[:, :half])
+            sc_l = jnp.concatenate([gamma_l, df.mont_mul(w_mont, ip_l, "fr")], -1)
+            sc_r = jnp.concatenate([gamma_r, df.mont_mul(w_mont, ip_r, "fr")], -1)
+        else:
+            sc_l, sc_r = gamma_l, gamma_r
+        y_l = dmsm._msm_auto_impl(basis, df.from_mont(sc_l, "fr"))
+        y_r = dmsm._msm_auto_impl(basis, df.from_mont(sc_r, "fr"))
         pair = dc.to_affine(jnp.concatenate([y_l, y_r], axis=-1))  # (2, L, 2)
 
         pbytes = dsha.g1_compressed_bytes(pair)  # (2, 32)
@@ -168,10 +204,14 @@ def _fused_ipa_loop(g, a, b, q_proj, state, dst: bytes, with_q: bool):
         x_mont = df.to_mont(x_std, "fr")
         a = _fold_field(a_l, a_r, x_mont)
         if with_q:
-            b = _fold_field(b_r, b_l, x_mont)
-        g = _fold_points(g_r, g_l, x_std)
+            b = _fold_field(b[:, half:], b[:, :half], x_mont)
+        # g <- g_r + x*g_l in coefficient space: left-half positions pick
+        # up a factor x, right-half weights are unchanged
+        wts = df.select(
+            right, wts, df.mont_mul(wts, jnp.broadcast_to(x_mont, wts.shape), "fr")
+        )
         pairs.append(pair)
-        n = half
+        ln = half
 
     tip_std = df.from_mont(a, "fr")
     stacked = jnp.stack(pairs)  # (rounds, 2, L, 2)
@@ -182,15 +222,15 @@ def _fused_ipa_loop(g, a, b, q_proj, state, dst: bytes, with_q: bool):
 # SHA-256 is the single most expensive TRACE in the package; exporting the
 # StableHLO makes cold-process proves skip it (utils/aot.py)
 _fused_prove_program = aot_jit(
-    lambda g, a, b, q_proj, state, dst: _fused_ipa_loop(
-        g, a, b, q_proj, state, dst, with_q=True
+    lambda basis, a, b, state, dst: _fused_ipa_loop(
+        basis, a, b, state, dst, with_q=True
     ),
     "ipa_fused_prove",
     static_argnames=("dst",),
 )
 _fused_commit_proof_program = aot_jit(
-    lambda g, a, state, dst: _fused_ipa_loop(
-        g, a, None, None, state, dst, with_q=False
+    lambda basis, a, state, dst: _fused_ipa_loop(
+        basis, a, None, state, dst, with_q=False
     ),
     "ipa_fused_commit_proof",
     static_argnames=("dst",),
@@ -233,6 +273,10 @@ class IPAParams:
     @functools.cached_property
     def q_proj(self) -> jnp.ndarray:
         return dc.host_point_to_projective(self.q_host)
+
+    @functools.cached_property
+    def q_affine(self) -> jnp.ndarray:
+        return dc.host_points_to_affine([self.q_host])  # (2, L, 1)
 
     def max_size(self) -> int:
         return self.n
@@ -344,7 +388,7 @@ class IPA:
             a = jnp.concatenate(
                 [a, jnp.zeros((a.shape[0], n2 - m), jnp.uint32)], axis=-1
             )
-        g = params.g_proj[..., :n2]
+        g = params.g_affine[..., :n2]
 
         t = Transcript(IPA.transcript_label)
         t.append_point(commitment, "C")
@@ -435,11 +479,9 @@ def _low_level_ipa(
         t.digest("w", True)
         return IPAProof(l=[], r=[], tip=_mont_to_int(a), y=eval_)
 
+    basis = jnp.concatenate([params.g_affine[..., :n], params.q_affine], axis=-1)
     pairs, tip_std, eval_std = jax.device_get(
-        _fused_prove_program(
-            params.g_proj[..., :n], a, b, params.q_proj, _state_to_device(t),
-            dst=t._dst,
-        )
+        _fused_prove_program(basis, a, b, _state_to_device(t), dst=t._dst)
     )  # ONE transfer for the whole proof
     # replay the pre-loop digests host-side (they need eval_, now known)
     y = limbs_to_ints(eval_std.T)[0]
