@@ -215,3 +215,23 @@ def test_msm_pippenger_signed_pallas(monkeypatch):
     # c=7 -> digit-tensor signed variant
     got_dg = msm.msm_pippenger(pa, s, c=7, lanes=4, signed=True)
     assert C.projective_to_host_points(got_dg)[0] == want
+
+
+def test_scalar_mul_affine_kernel():
+    """Fused double-and-add kernel vs the XLA scan: BIT-IDENTICAL
+    projective representatives (same formula sequence), host cross-check.
+    This is the verkle sparse-commit fleet's device path
+    (tree.py::_sparse_commit_device_impl)."""
+    rng2 = random.Random(0x5CA1)
+    pts_host = [
+        hc.g1_mul(hc.g1_generator(), rng2.getrandbits(120) + 1) for _ in range(5)
+    ]
+    pa = C.host_points_to_affine(pts_host)
+    ks = [0, 1, R - 1, rng2.randrange(R), rng2.randrange(R)]
+    s = jnp.asarray(ints_to_limbs(ks).T)
+    ref = C.scalar_mul(C.from_affine(pa), s)
+    got = PC.scalar_mul_affine(pa, s, interpret=True)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+    assert C.projective_to_host_points(got) == [
+        hc.g1_mul(p, k) for p, k in zip(pts_host, ks)
+    ]

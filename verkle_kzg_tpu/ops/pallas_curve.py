@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import NLIMBS
 from .pallas_field import (
+    _rows_const,
     k_add,
     k_add_lazy,
     k_is_zero,
@@ -361,3 +362,82 @@ def mixed_add(p, q_affine, interpret: bool = False):
         o_ref[0] = k_point_mixed_add(p_ref[0], q_ref[0])
 
     return _point_call(kernel, [p, q_affine], [3, 2], 3, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused scalar multiplication: the whole 256-step double-and-add chain of a
+# batch of points runs inside ONE Mosaic kernel. The XLA scan
+# (ops/curve.py::scalar_mul) pays per-HLO-op dispatch overhead on every one
+# of its ~512 tiny point ops, which dominates the verkle sparse-commit
+# fleet (the gathered-basis scalar-muls of tree.py::_sparse_commit — the
+# per-node commits replacing ``node.rs:212-277``'s serial MSMs); in-kernel
+# the same complete-formula chain runs back-to-back in VMEM. Identical
+# formula sequence (double, complete mixed add, per-bit select), so the
+# output coordinates are BIT-IDENTICAL to the XLA path, not just the same
+# group element (the mixed add is the exact Z2=1 specialization of the
+# projective add used there).
+# ---------------------------------------------------------------------------
+
+
+def _scalar_mul_kernel(bits_ref, pts_ref, o_ref):
+    """bits_ref: (256, BB) uint32 0/1 MSB-first; pts_ref: (1, 2, L, BB)
+    canonical affine (never infinity in the callers: CRS basis points —
+    zero scalars yield the identity because no bit ever selects the add);
+    o_ref: (1, 3, L, BB) canonical projective."""
+    from ..params import FQ
+
+    bsz = o_ref.shape[-1]
+    p = pts_ref[0]
+    zero = jnp.zeros((L, bsz), jnp.uint32)
+    one = jnp.broadcast_to(_rows_const(FQ.r_mod_limbs), (L, bsz))
+    acc0 = jnp.stack([zero, one, zero], axis=0)  # (0 : 1 : 0)
+
+    def body(i, acc):
+        acc = k_point_double_lazy(acc)
+        with_p = k_point_mixed_add_lazy(acc, p)
+        bit = bits_ref[i]  # (BB,)
+        return jnp.where((bit != 0)[None, None, :], with_p, acc)
+
+    acc = jax.lax.fori_loop(0, 256, body, acc0)
+    o_ref[0] = k_point_reduce(acc)
+
+
+@functools.partial(jax.jit, static_argnames="interpret")
+def scalar_mul_affine(pts_affine, scalars_std, interpret: bool = False):
+    """(2, L, B) canonical affine points x (L, B) STANDARD-form scalars ->
+    (3, L, B) canonical projective products, one fused kernel launch.
+
+    Bits are extracted once in XLA (cheap wide vector ops) and streamed as
+    a (256, B) plane; each lane's full double-and-add chain runs in VMEM."""
+    from .curve import scalar_bits_msb
+
+    n = pts_affine.shape[-1]
+    bits = scalar_bits_msb(scalars_std).astype(jnp.uint32)  # (256, B)
+    blk = min(512, n)
+    nb = -(-n // blk)
+    pad = nb * blk - n
+    if pad:
+        pts_affine = jnp.concatenate(
+            [pts_affine, jnp.zeros((2, L, pad), jnp.uint32)], axis=-1
+        )
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((256, pad), jnp.uint32)], axis=-1
+        )
+    # pad lanes carry the (0,0) sentinel with all-zero bits: the add is
+    # never selected, so they emit the identity and are sliced off below
+    out = pl.pallas_call(
+        _scalar_mul_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((256, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 2, L, blk), lambda j: (0, 0, 0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, L, blk), lambda j: (0, 0, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 3, L, nb * blk), jnp.uint32),
+        interpret=interpret,
+    )(bits, pts_affine[None])
+    return out[0, ..., :n]

@@ -1,5 +1,5 @@
 """Verkle trie (layer 4): host-side structure, device-batched commitments."""
 
-from .tree import VerkleTree
+from .tree import VerkleProof, VerkleTree, VerkleVerifier
 
-__all__ = ["VerkleTree"]
+__all__ = ["VerkleProof", "VerkleTree", "VerkleVerifier"]

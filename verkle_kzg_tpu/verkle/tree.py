@@ -50,9 +50,20 @@ INTERNAL_WIDTH = 256  # hardcoded in the reference (node.rs:263-264)
 def _sparse_commit_device_impl(basis_aff, flat_idx, scal_std, t: int):
     """(2, L, W) basis x (B*T,) lane indices x (L, B*T) standard scalars
     -> (3, L, B) commitments: batched double-and-add over the gathered
-    basis points, then a log-depth fold of each node's T terms."""
+    basis points, then a log-depth fold of each node's T terms. On TPU the
+    whole double-and-add chain is ONE fused Mosaic kernel per lane block
+    (ops/pallas_curve.py::scalar_mul_affine, bit-identical to the XLA
+    scan); the XLA path remains for CPU tests / VKZG_PALLAS=0."""
     gathered = basis_aff[..., flat_idx]  # (2, L, B*T)
-    prods = dc.scalar_mul(dc.from_affine(gathered), scal_std)  # (3, L, B*T)
+    mode = dmsm._pallas_mode()
+    if mode != "off":
+        from ..ops import pallas_curve as PC
+
+        prods = PC.scalar_mul_affine(
+            gathered, scal_std, interpret=(mode == "interpret")
+        )
+    else:
+        prods = dc.scalar_mul(dc.from_affine(gathered), scal_std)  # (3, L, B*T)
     bt = prods.shape[-1]
     # (3, L, B, T) -> (T, 3, L, B): the term axis leads so the halving fold
     # keeps coordinates at axis -3 as the point kernels require
