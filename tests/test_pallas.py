@@ -235,3 +235,27 @@ def test_scalar_mul_affine_kernel():
     assert C.projective_to_host_points(got) == [
         hc.g1_mul(p, k) for p, k in zip(pts_host, ks)
     ]
+
+
+def test_scalar_mul_affine_infinity_and_batched(monkeypatch):
+    """Infinity-sentinel lanes mask to the identity product, and the
+    mode-aware small-N batched path (ops/msm.py::_batched_naive_affine)
+    matches the XLA path's group elements."""
+    monkeypatch.setattr(msm, "_pallas_mode", lambda: "interpret")
+    rng2 = random.Random(0xF00)
+    pts_host = [hc.g1_mul(hc.g1_generator(), rng2.getrandbits(90) + 1) for _ in range(4)]
+    pts_host[2] = None  # infinity sentinel lane
+    pa = C.host_points_to_affine(pts_host)
+    ks = [rng2.randrange(R) for _ in range(4)]
+    got = PC.scalar_mul_affine(pa, jnp.asarray(ints_to_limbs(ks).T), interpret=True)
+    want = [None if p is None else hc.g1_mul(p, k) for p, k in zip(pts_host, ks)]
+    assert C.projective_to_host_points(got) == want
+
+    # batched (B=2, N=4) small-MSM path vs the XLA reference
+    pb = jnp.stack([pa, pa[..., ::-1]])  # (2, 2, L, 4)
+    sb = jnp.stack(
+        [jnp.asarray(ints_to_limbs(ks).T), jnp.asarray(ints_to_limbs(ks[::-1]).T)]
+    )
+    got_b = msm._batched_naive_affine(pb, sb)
+    ref_b = msm._batched_naive(C.from_affine(pb), sb)
+    assert C.projective_to_host_points(got_b) == C.projective_to_host_points(ref_b)

@@ -127,6 +127,12 @@ def _msm_auto_impl(
     per execution — see utils/metrics.py)."""
     n = points_affine.shape[-1]
     if n < 64:
+        mode = _pallas_mode()
+        if mode != "off":
+            prods = PC.scalar_mul_affine(
+                points_affine, scalars, interpret=(mode == "interpret")
+            )
+            return fold_reduce_lanes(prods)
         return fold_reduce_lanes(C.scalar_mul(C.from_affine(points_affine), scalars))
     return msm_pippenger(points_affine, scalars, c=c, lanes=lanes)
 
@@ -436,6 +442,25 @@ def _batched_naive(points_proj: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarra
     return jnp.moveaxis(summed[..., 0], 0, -1)  # (3, L, B)
 
 
+def _batched_naive_affine(
+    points_affine: jnp.ndarray, scalars: jnp.ndarray
+) -> jnp.ndarray:
+    """(B, 2, L, N) affine x (B, L, N) -> (3, L, B): mode-aware small-N
+    batched MSM. On TPU the B*N independent double-and-add chains run as
+    ONE fused Mosaic kernel (pallas_curve.scalar_mul_affine) instead of the
+    XLA scan's ~512 dispatched point ops; same group elements per lane."""
+    mode = _pallas_mode()
+    if mode == "off":
+        return _batched_naive(C.from_affine(points_affine), scalars)
+    b, _, _, n = points_affine.shape
+    flat_p = jnp.moveaxis(points_affine, 0, 2).reshape(2, L, b * n)
+    flat_s = jnp.moveaxis(scalars, 0, 1).reshape(L, b * n)
+    prods = PC.scalar_mul_affine(flat_p, flat_s, interpret=(mode == "interpret"))
+    prods = jnp.moveaxis(prods.reshape(3, L, b, n), 2, 0)  # (B, 3, L, N)
+    summed = fold_reduce_lanes(prods)  # (B, 3, L, 1)
+    return jnp.moveaxis(summed[..., 0], 0, -1)  # (3, L, B)
+
+
 def _auto_c(n: int, c: int | None) -> int:
     """Window width for SINGLE MSMs. c=8 measured fastest on both paths:
 
@@ -478,7 +503,7 @@ def _msm_batched_impl(
     """msm_batched without metrics (shard_map/jit-trace safe)."""
     bsz, _, _, n = points_affine.shape
     if n < 64:
-        return _batched_naive(C.from_affine(points_affine), scalars)
+        return _batched_naive_affine(points_affine, scalars)
     signed = _signed_default()
     c = _auto_c_batched(n, c, signed)
     dig = window_digits_signed(scalars, c) if signed else window_digits(scalars, c)
@@ -512,6 +537,9 @@ def _msm_fixed_base_impl(
     b = scalars.shape[0]
     n = points_affine.shape[-1]
     if n < 64:
+        if _pallas_mode() != "off":
+            pts = jnp.broadcast_to(points_affine[None], (b, 2, L, n))
+            return _batched_naive_affine(pts, scalars)
         pts = jnp.broadcast_to(
             C.from_affine(points_affine)[None], (b, 3, L, n)
         )

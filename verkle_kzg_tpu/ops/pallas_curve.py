@@ -408,11 +408,15 @@ def scalar_mul_affine(pts_affine, scalars_std, interpret: bool = False):
     (3, L, B) canonical projective products, one fused kernel launch.
 
     Bits are extracted once in XLA (cheap wide vector ops) and streamed as
-    a (256, B) plane; each lane's full double-and-add chain runs in VMEM."""
-    from .curve import scalar_bits_msb
+    a (256, B) plane; each lane's full double-and-add chain runs in VMEM.
+    (0, 0)-sentinel infinity lanes get their bits masked to zero, so they
+    emit the identity — same group element as the XLA path's complete
+    formulas (the mixed add is not complete for an affine infinity)."""
+    from .curve import affine_is_infinity, scalar_bits_msb
 
     n = pts_affine.shape[-1]
     bits = scalar_bits_msb(scalars_std).astype(jnp.uint32)  # (256, B)
+    bits = jnp.where(affine_is_infinity(pts_affine)[None, :], 0, bits)
     blk = min(512, n)
     nb = -(-n // blk)
     pad = nb * blk - n

@@ -34,14 +34,23 @@ def ipa_generate_points(num: int, seed: bytes = DEFAULT_IPA_SEED) -> list:
 def kzg_generate_monomial_srs(num: int, secret: int = DEFAULT_KZG_SECRET) -> list:
     """[s^i * G] computed as one batched device scalar-mul sweep (the
     reference's serial running-multiple loop, ``kzg_point_generator.rs:32-43``,
-    re-shaped as a data-parallel kernel)."""
+    re-shaped as a data-parallel kernel; on TPU the whole sweep is a fused
+    Mosaic kernel, ops/pallas_curve.py::scalar_mul_affine)."""
+    from ..ops.msm import _pallas_mode
+
     g = g1_generator()
     powers = [1] * num
     for i in range(1, num):
         powers[i] = powers[i - 1] * secret % R
-    g_dev = dc.from_affine(dc.host_points_to_affine([g] * num))
+    g_aff = dc.host_points_to_affine([g] * num)
     scalars = jnp.asarray(ints_to_limbs(powers).T)
-    pts = jax.jit(dc.scalar_mul)(g_dev, scalars)
+    mode = _pallas_mode()
+    if mode != "off":
+        from ..ops import pallas_curve as PC
+
+        pts = PC.scalar_mul_affine(g_aff, scalars, interpret=(mode == "interpret"))
+    else:
+        pts = jax.jit(dc.scalar_mul)(dc.from_affine(g_aff), scalars)
     return dc.projective_to_host_points(pts)
 
 

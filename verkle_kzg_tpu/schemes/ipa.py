@@ -158,6 +158,23 @@ def _fused_ipa_loop(basis, a, b, state, dst: bytes, with_q: bool):
         w_mont = df.to_mont(w_std, "fr")  # (L, 1)
 
     wts = df.one_mont("fr", (), n)  # (L, n) accumulated challenge weights
+
+    # Per-round MSM primitive: the fused Pallas Pippenger on TPU; the naive
+    # scalar-mul fold on the XLA path. They return the same group element,
+    # and embedding 2*log2(n) Pippenger graphs (bucket fori-loops + scan
+    # tails) in ONE program makes the XLA:CPU compile of the unrolled loop
+    # explode (>30 min at domain 256 on the 1-core CI box), while the scan
+    #-structured naive fold compiles in seconds there.
+    if dmsm._pallas_mode() == "off" and nq >= 64:
+        basis_proj = dc.from_affine(basis)
+
+        def _round_msm(sc_std):
+            return dmsm.fold_reduce_lanes(dc.scalar_mul(basis_proj, sc_std))
+    else:
+
+        def _round_msm(sc_std):
+            return dmsm._msm_auto_impl(basis, sc_std)
+
     pairs = []
     ln = n
     while ln > 1:
@@ -183,8 +200,8 @@ def _fused_ipa_loop(basis, a, b, state, dst: bytes, with_q: bool):
             sc_r = jnp.concatenate([gamma_r, df.mont_mul(w_mont, ip_r, "fr")], -1)
         else:
             sc_l, sc_r = gamma_l, gamma_r
-        y_l = dmsm._msm_auto_impl(basis, df.from_mont(sc_l, "fr"))
-        y_r = dmsm._msm_auto_impl(basis, df.from_mont(sc_r, "fr"))
+        y_l = _round_msm(df.from_mont(sc_l, "fr"))
+        y_r = _round_msm(df.from_mont(sc_r, "fr"))
         pair = dc.to_affine(jnp.concatenate([y_l, y_r], axis=-1))  # (2, L, 2)
 
         pbytes = dsha.g1_compressed_bytes(pair)  # (2, 32)
