@@ -132,16 +132,24 @@ def _ipa_round(g, a, b, q_proj):
 
 
 def _fused_ipa_loop(basis, a, b, state, dst: bytes, with_q: bool):
-    """Unrolled halving loop (shapes halve per round, so rounds are separate
-    traces inside one program). ``basis``: the (2, L, n) affine generator
-    vector, with the inner-product point q appended as lane n when
-    ``with_q`` (built host-side from the fixed CRS). ``state`` is the
-    33-byte cleared transcript state entering the loop; challenges are
-    recomputed bit-identically to fiatshamir/transcript.py. Returns
-    per-round (L, R) affine pairs, the tip, and (with_q) the evaluation —
-    all still on device."""
+    """Halving loop as ONE ``lax.scan`` over rounds with a SHAPE-UNIFORM
+    body: ``a``/``b`` stay padded to full width n (live prefix [0, ln)
+    halves per round) and every round-varying access pattern — half
+    membership, the gamma gathers, the fold shifts — is a precomputed
+    static (rounds, n) index/mask plane fed through the scan. One round
+    body traces/compiles once instead of log2(n) inlined rounds (the
+    unrolled form took >45 min of XLA:CPU compile at domain 256 on the
+    1-core CI box; ~8x smaller here).
+
+    ``basis``: the (2, L, n) affine generator vector, with the
+    inner-product point q appended as lane n when ``with_q`` (built
+    host-side from the fixed CRS). ``state`` is the 33-byte cleared
+    transcript state entering the loop; challenges are recomputed
+    bit-identically to fiatshamir/transcript.py. Returns per-round (L, R)
+    affine pairs, the tip, and (with_q) the evaluation — all on device."""
     nq = basis.shape[-1]
     n = nq - 1 if with_q else nq
+    assert n & (n - 1) == 0, "halving loop needs a power-of-two length"
     eval_std = None
     if with_q:
         eval_std = df.from_mont(_inner_mont(a, b), "fr")
@@ -160,11 +168,9 @@ def _fused_ipa_loop(basis, a, b, state, dst: bytes, with_q: bool):
     wts = df.one_mont("fr", (), n)  # (L, n) accumulated challenge weights
 
     # Per-round MSM primitive: the fused Pallas Pippenger on TPU; the naive
-    # scalar-mul fold on the XLA path. They return the same group element,
-    # and embedding 2*log2(n) Pippenger graphs (bucket fori-loops + scan
-    # tails) in ONE program makes the XLA:CPU compile of the unrolled loop
-    # explode (>30 min at domain 256 on the 1-core CI box), while the scan
-    #-structured naive fold compiles in seconds there.
+    # scalar-mul fold on the XLA path (embedding Pippenger's bucket
+    # fori-loops in the scanned body is a large XLA:CPU compile for no
+    # test-speed gain). Same group elements either way.
     if dmsm._pallas_mode() == "off" and nq >= 64:
         basis_proj = dc.from_affine(basis)
 
@@ -175,27 +181,52 @@ def _fused_ipa_loop(basis, a, b, state, dst: bytes, with_q: bool):
         def _round_msm(sc_std):
             return dmsm._msm_auto_impl(basis, sc_std)
 
-    pairs = []
+    # static per-round access planes over ORIGINAL indices i / slots j:
+    #   right: position (i mod ln) sits in the current right half
+    #   idx_l/idx_r: gamma gathers a[(i mod ln) -/+ half] (0 where masked)
+    #   idx_f: fold shift a[j + half] for live slots j < half (0 elsewhere)
+    #   left: slot j is live after this round's fold (j < half)
+    rounds = n.bit_length() - 1
+    i_arr = np.arange(n)
+    right_np = np.zeros((rounds, n), np.bool_)
+    left_np = np.zeros((rounds, n), np.bool_)
+    idx_l_np = np.zeros((rounds, n), np.int32)
+    idx_r_np = np.zeros((rounds, n), np.int32)
+    idx_f_np = np.zeros((rounds, n), np.int32)
     ln = n
-    while ln > 1:
+    for r in range(rounds):
         half = ln // 2
-        nb = n // ln
-        # static per-round membership of each ORIGINAL index's position
-        right = jnp.asarray((np.arange(n) % ln) >= half)
-        a_l, a_r = a[:, :half], a[:, half:]
-        # a_cur[(i mod ln) - half] / a_cur[(i mod ln) + half] per index i
-        val_l = jnp.broadcast_to(
-            jnp.roll(a, half, axis=-1)[:, None, :], (L, nb, ln)
-        ).reshape(L, n)
-        val_r = jnp.broadcast_to(
-            jnp.roll(a, -half, axis=-1)[:, None, :], (L, nb, ln)
-        ).reshape(L, n)
+        pos = i_arr % ln
+        right_np[r] = pos >= half
+        left_np[r] = i_arr < half
+        idx_l_np[r] = np.where(pos >= half, pos - half, 0)
+        idx_r_np[r] = np.where(pos < half, pos + half, 0)
+        idx_f_np[r] = np.where(i_arr < half, i_arr + half, 0)
+        ln = half
+    planes = (
+        jnp.asarray(right_np),
+        jnp.asarray(left_np),
+        jnp.asarray(idx_l_np),
+        jnp.asarray(idx_r_np),
+        jnp.asarray(idx_f_np),
+    )
+
+    def round_body(carry, plane):
+        a, b, wts, state = carry
+        right, left, idx_l, idx_r, idx_f = plane
         zeros = jnp.zeros_like(wts)
-        gamma_l = df.select(right, df.mont_mul(wts, val_l, "fr"), zeros)
-        gamma_r = df.select(right, zeros, df.mont_mul(wts, val_r, "fr"))
+        gamma_l = df.select(right, df.mont_mul(wts, a[:, idx_l], "fr"), zeros)
+        gamma_r = df.select(right, zeros, df.mont_mul(wts, a[:, idx_r], "fr"))
         if with_q:
-            ip_l = _inner_mont(a_l, b[:, half:])
-            ip_r = _inner_mont(a_r, b[:, :half])
+            # <a_l, b_r> / <a_r, b_l> over the live prefix: mask dead slots
+            p_l = df.select(left, df.mont_mul(a, b[:, idx_f], "fr"), zeros)
+            p_r = df.select(left, df.mont_mul(a[:, idx_f], b, "fr"), zeros)
+            ip_l = df.reduce_columns(
+                jnp.sum(p_l, axis=-1, keepdims=True, dtype=jnp.uint32), "fr"
+            )
+            ip_r = df.reduce_columns(
+                jnp.sum(p_r, axis=-1, keepdims=True, dtype=jnp.uint32), "fr"
+            )
             sc_l = jnp.concatenate([gamma_l, df.mont_mul(w_mont, ip_l, "fr")], -1)
             sc_r = jnp.concatenate([gamma_r, df.mont_mul(w_mont, ip_r, "fr")], -1)
         else:
@@ -219,19 +250,29 @@ def _fused_ipa_loop(basis, a, b, state, dst: bytes, with_q: bool):
         state = jnp.concatenate([dsha.fr_to_bytes(x_std), dsha.const_bytes(b"x")])
 
         x_mont = df.to_mont(x_std, "fr")
-        a = _fold_field(a_l, a_r, x_mont)
+        x_b = jnp.broadcast_to(x_mont, a.shape)
+        # folds on the padded arrays: live slots j < half take the folded
+        # value, dead slots keep stale data (never referenced again —
+        # every later plane indexes below the live watermark)
+        a2 = df.select(left, df.add(a, df.mont_mul(a[:, idx_f], x_b, "fr"), "fr"), a)
         if with_q:
-            b = _fold_field(b[:, half:], b[:, :half], x_mont)
+            b2 = df.select(
+                left, df.add(b[:, idx_f], df.mont_mul(b, x_b, "fr"), "fr"), b
+            )
+        else:
+            b2 = b
         # g <- g_r + x*g_l in coefficient space: left-half positions pick
         # up a factor x, right-half weights are unchanged
-        wts = df.select(
-            right, wts, df.mont_mul(wts, jnp.broadcast_to(x_mont, wts.shape), "fr")
-        )
-        pairs.append(pair)
-        ln = half
+        wts2 = df.select(right, wts, df.mont_mul(wts, x_b, "fr"))
+        return (a2, b2, wts2, state), pair
 
-    tip_std = df.from_mont(a, "fr")
-    stacked = jnp.stack(pairs)  # (rounds, 2, L, 2)
+    if b is None:
+        b = jnp.zeros_like(a)  # inert placeholder keeps the carry uniform
+    (a, b, wts, state), stacked = jax.lax.scan(
+        round_body, (a, b, wts, state), planes
+    )
+
+    tip_std = df.from_mont(a[:, :1], "fr")
     return (stacked, tip_std, eval_std) if with_q else (stacked, tip_std)
 
 
