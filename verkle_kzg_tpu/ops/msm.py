@@ -137,6 +137,19 @@ def _msm_auto_impl(
     return msm_pippenger(points_affine, scalars, c=c, lanes=lanes)
 
 
+from ..utils.aot import aot_jit
+
+#: Persistent-AOT twin of the eager single-MSM entry: a plain-jit Pallas
+#: program's Mosaic compile does NOT survive the process (measured 57 s
+#: for the first 256-point Pippenger of every fresh process on the
+#: tunnel-attached v5e, paid by every commit/verify), while deserialized
+#: jax.export artifacts re-link in ~2 s. One artifact per (shape, c,
+#: lanes); in-trace callers keep using _msm_auto_impl directly.
+_msm_auto_program = aot_jit(
+    _msm_auto_impl, "msm_auto", static_argnames=("c", "lanes")
+)
+
+
 def msm_auto(
     points_affine: jnp.ndarray,
     scalars: jnp.ndarray,
@@ -148,7 +161,13 @@ def msm_auto(
     c ~ log2(N) otherwise. (2, L, N) x (L, N) -> (3, L, 1)."""
     metrics.record("msm.single.calls")
     metrics.record("msm.single.points", points_affine.shape[-1])
-    return _msm_auto_impl(points_affine, scalars, c=c, lanes=lanes)
+    if isinstance(points_affine, jax.core.Tracer) or isinstance(
+        scalars, jax.core.Tracer
+    ):
+        # called under an outer trace (e.g. the host-sequenced IPA round):
+        # inline — the outer program owns compilation/AOT
+        return _msm_auto_impl(points_affine, scalars, c=c, lanes=lanes)
+    return _msm_auto_program(points_affine, scalars, c=c, lanes=lanes)
 
 
 def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
